@@ -1,0 +1,49 @@
+"""pyloo_tpu: TPU-native PSIS-LOO cross-validation (JAX/XLA).
+
+A from-scratch rebuild of the capabilities of ``pyloo`` (the Python twin of R's
+``loo`` package) designed for TPU: every per-observation kernel is batched,
+jit-compiled, and shardable over a device mesh; the reference's per-row Python
+loops are replaced by single fused XLA programs.
+"""
+
+import logging
+
+# float64 on device: the statistical kernels default to reference-parity
+# precision (NumPy float64); the float32 VPU fast path is opt-in through
+# rcParams["device.precision"].
+import jax as _jax
+
+_jax.config.update("jax_enable_x64", True)
+
+if not logging.root.handlers:
+    logging.basicConfig(
+        level=logging.INFO,
+        format="%(asctime)s - %(name)s - %(levelname)s - %(message)s",
+        datefmt="%Y-%m-%d %H:%M:%S",
+        force=True,
+    )
+
+from .base import ISMethod, compute_importance_weights
+from .containers import DataArray, Dataset, InferenceData
+from .psis import psislw
+from .rcparams import rcParams
+from .sis import sislw
+from .tis import tislw
+from .utils import from_dict, get_log_likelihood, to_inference_data
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "ISMethod",
+    "compute_importance_weights",
+    "DataArray",
+    "Dataset",
+    "InferenceData",
+    "psislw",
+    "sislw",
+    "tislw",
+    "rcParams",
+    "from_dict",
+    "get_log_likelihood",
+    "to_inference_data",
+]

@@ -1,0 +1,293 @@
+"""Vectorized Pareto-smoothed / truncated / standard importance sampling kernels.
+
+TPU-first redesign of the reference per-observation kernels
+(``pyloo/psis.py:114-231``, ``pyloo/sis.py:86-106``, ``pyloo/tis.py:91-120``):
+
+* The reference runs a Python loop over observations, each doing a full
+  ``argsort`` over S draws plus a Zhang-Stephens GPD fit.  Here the whole
+  ``(n_obs, S)`` batch is processed in one jitted call.
+* Only the top ``M+1`` draws per row are needed (the candidate tail plus the
+  cutoff order statistic), so ``lax.top_k`` replaces the O(S log S) sort with
+  an O(S·logM)-ish selection; ``M = ceil(min(S/5, 3*sqrt(S/reff)))`` is a
+  *static* compile-time constant (reference ``pyloo/psis.py:89``).
+* The variable-length tail (strict ``x > xcutoff`` with ties, reference
+  ``pyloo/psis.py:139``) is handled with masks over a fixed ``M``-slot buffer,
+  never with dynamic shapes, so XLA fuses everything onto the VPU.
+* The Zhang-Stephens empirical-Bayes GPD fit (reference ``pyloo/psis.py:163-208``)
+  is vectorized across rows; the candidate-``b`` grid is scanned with
+  ``lax.scan`` to bound peak VMEM/HBM at ``O(n_obs · M)`` per step.
+
+All math follows Vehtari, Simpson, Gelman, Yao, Gabry (2024), "Pareto smoothed
+importance sampling", JMLR 25(72), and Zhang & Stephens (2009).
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .lse import logsumexp
+
+__all__ = [
+    "tail_length",
+    "psislw_batch",
+    "sislw_batch",
+    "tislw_batch",
+    "gpdfit",
+    "gpinv",
+]
+
+_PRIOR_BS = 3.0
+_PRIOR_K = 10.0
+
+
+def tail_length(n_samples: int, reff: float = 1.0) -> int:
+    """Static maximum tail size M = ceil(min(S/5, 3*sqrt(S/reff)))."""
+    return int(math.ceil(min(n_samples / 5.0, 3.0 * math.sqrt(n_samples / reff))))
+
+
+def _cutoffmin(dtype) -> float:
+    """log of the smallest positive normal float64 (reference uses float tiny)."""
+    return float(np.log(np.finfo(np.float64).tiny))
+
+
+# ---------------------------------------------------------------------------
+# Generalized Pareto fit (batched, masked)
+# ---------------------------------------------------------------------------
+
+
+def _gpdfit_batch(ary, n):
+    """Zhang-Stephens empirical-Bayes GPD fit, vectorized over rows.
+
+    Parameters
+    ----------
+    ary : (B, M) array
+        Ascending exceedances per row, left-aligned; slots ``j >= n[b]`` hold 0.
+    n : (B,) int array
+        Number of valid exceedances per row.
+
+    Returns
+    -------
+    k, sigma : (B,) arrays
+        Shape and scale estimates (posterior-mean ``b``, shrunk ``k``).
+    """
+    B, M = ary.shape
+    dtype = ary.dtype
+    eps = jnp.finfo(dtype).eps
+    nf = n.astype(dtype)
+
+    m_max = 30 + int(math.isqrt(M))
+    m_est = (30.0 + jnp.floor(jnp.sqrt(nf))).astype(dtype)  # (B,)
+    grid = jnp.arange(1, m_max + 1, dtype=dtype)  # (m_max,)
+    grid_valid = grid[None, :] <= m_est[:, None]  # (B, m_max)
+
+    # order statistics entering the b-grid: first quartile and the maximum
+    q_idx = jnp.clip((n + 2) // 4 - 1, 0, M - 1)
+    quart = jnp.take_along_axis(ary, q_idx[:, None], axis=1)[:, 0]
+    last = jnp.take_along_axis(
+        ary, jnp.clip(n - 1, 0, M - 1)[:, None], axis=1
+    )[:, 0]
+
+    b_grid = (1.0 - jnp.sqrt(m_est[:, None] / (grid[None, :] - 0.5))) / (
+        _PRIOR_BS * quart[:, None]
+    ) + 1.0 / last[:, None]  # (B, m_max)
+
+    slot_valid = (
+        jnp.arange(M, dtype=jnp.int32)[None, :] < n[:, None]
+    )  # (B, M); invalid ary slots are exactly 0 so log1p(-b*0)=0 drops out
+
+    def profile_loglik(_, b_col):
+        # masked mean over the row's exceedances of log1p(-b * y)
+        s = jnp.sum(jnp.log1p(-b_col[:, None] * ary), axis=1)
+        return None, s / nf
+
+    _, k_cols = jax.lax.scan(profile_loglik, None, b_grid.T)  # (m_max, B)
+    k_grid = k_cols.T  # (B, m_max)
+
+    # marginal posterior weight of each candidate b (log scale), then softmax
+    len_scale = nf[:, None] * (jnp.log(-(b_grid / k_grid)) - k_grid - 1.0)
+    len_scale = jnp.where(grid_valid, len_scale, -jnp.inf)
+    ls_max = jnp.max(len_scale, axis=1, keepdims=True)
+    w = jnp.where(grid_valid, jnp.exp(len_scale - ls_max), 0.0)
+    w = w / jnp.sum(w, axis=1, keepdims=True)
+    # prune negligible candidates exactly like the reference (psis.py:194-198)
+    w = jnp.where(w >= 10.0 * eps, w, 0.0)
+    w = w / jnp.sum(w, axis=1, keepdims=True)
+
+    b_post = jnp.sum(b_grid * w, axis=1)  # (B,)
+    k_post = (
+        jnp.sum(jnp.where(slot_valid, jnp.log1p(-b_post[:, None] * ary), 0.0), axis=1)
+        / nf
+    )
+    sigma = -k_post / b_post
+    k_post = (nf * k_post + _PRIOR_K * 0.5) / (nf + _PRIOR_K)
+    return k_post, sigma
+
+
+def gpdfit(ary):
+    """Fit a GPD to a 1-D (or batched, trailing-axis) ascending sample array.
+
+    Convenience entry point over :func:`_gpdfit_batch` for full (unmasked)
+    rows; mirrors reference ``pyloo/psis.py:163-208``.
+    """
+    ary = jnp.asarray(ary)
+    squeeze = ary.ndim == 1
+    if squeeze:
+        ary = ary[None, :]
+    n = jnp.full((ary.shape[0],), ary.shape[1], dtype=jnp.int32)
+    k, sigma = _gpdfit_batch(ary, n)
+    if squeeze:
+        return k[0], sigma[0]
+    return k, sigma
+
+
+def _gpinv_masked(probs, kappa, sigma, valid):
+    """Inverse GPD CDF at plotting positions, batched with per-row params.
+
+    probs: (B, M) in (0, 1) where ``valid``; kappa, sigma: (B,).
+    Reference semantics (``pyloo/psis.py:211-231``): ``sigma <= 0`` poisons the
+    row with NaN; near-zero kappa uses the exponential-distribution limit.
+    """
+    dtype = probs.dtype
+    eps = jnp.finfo(dtype).eps
+    kap = kappa[:, None]
+    log1m = jnp.log1p(-jnp.where(valid, probs, 0.5))
+    small_kappa = jnp.abs(kap) < eps
+    # guard the division for the small-kappa branch
+    safe_kap = jnp.where(small_kappa, 1.0, kap)
+    q = jnp.where(small_kappa, -log1m, jnp.expm1(-safe_kap * log1m) / safe_kap)
+    q = q * sigma[:, None]
+    q = jnp.where(sigma[:, None] > 0, q, jnp.nan)
+    return q
+
+
+def gpinv(probs, kappa, sigma):
+    """Inverse GPD CDF for a single parameter pair (host-convenience)."""
+    was_1d = np.ndim(probs) == 1
+    probs = jnp.atleast_2d(jnp.asarray(probs))
+    kap = jnp.full((probs.shape[0],), kappa, dtype=probs.dtype)
+    sig = jnp.full((probs.shape[0],), sigma, dtype=probs.dtype)
+    ok = (probs > 0) & (probs < 1)
+    q = _gpinv_masked(probs, kap, sig, ok)
+    q = jnp.where(ok, q, jnp.nan)
+    # exact edge handling (probs == 0 / 1), matching psis.py:228-230
+    q = jnp.where(probs == 0, 0.0, q)
+    upper = jnp.where(kap >= 0, jnp.inf, -sig / jnp.where(kap == 0, 1.0, kap))
+    q = jnp.where(probs == 1, upper[:, None] * jnp.ones_like(q), q)
+    q = jnp.where(sig[:, None] > 0, q, jnp.nan)
+    return q[0] if was_1d else q
+
+
+# ---------------------------------------------------------------------------
+# PSIS
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("tail_max",))
+def psislw_batch(log_weights, tail_max: int):
+    """Pareto-smooth a batch of log-weight rows.
+
+    Parameters
+    ----------
+    log_weights : (B, S) array
+        Raw log importance weights, one row per observation.
+    tail_max : int
+        Static tail budget M (from :func:`tail_length`).
+
+    Returns
+    -------
+    lw : (B, S) array
+        Smoothed, truncated-at-zero, logsumexp-normalized log weights.
+    khat : (B,) array
+        Pareto shape diagnostic; ``inf`` where the tail had <= 4 exceedances.
+    """
+    x = jnp.asarray(log_weights)
+    dtype = x.dtype
+    B, S = x.shape
+    cutoff_floor = jnp.asarray(_cutoffmin(dtype), dtype=dtype)
+
+    x = x - jnp.max(x, axis=1, keepdims=True)
+
+    # candidate tail: the top M draws; the (M+1)-th largest is the cutoff
+    vals, idx = jax.lax.top_k(x, tail_max + 1)  # descending, (B, M+1)
+    xcutoff = jnp.maximum(vals[:, tail_max], cutoff_floor)  # (B,)
+    expxcutoff = jnp.exp(xcutoff)
+
+    tail_vals = vals[:, :tail_max]
+    tail_idx = idx[:, :tail_max]
+    in_tail = tail_vals > xcutoff[:, None]  # strict, preserves tie semantics
+    n_tail = jnp.sum(in_tail.astype(jnp.int32), axis=1)  # (B,)
+
+    # exceedances in ascending order, left-aligned into M fixed slots
+    slot = jnp.arange(tail_max, dtype=jnp.int32)
+    asc_src = jnp.clip(n_tail[:, None] - 1 - slot[None, :], 0, tail_max - 1)
+    asc_vals = jnp.take_along_axis(tail_vals, asc_src, axis=1)
+    slot_valid = slot[None, :] < n_tail[:, None]
+    exceed = jnp.where(slot_valid, jnp.exp(asc_vals) - expxcutoff[:, None], 0.0)
+
+    k, sigma = _gpdfit_batch(exceed, n_tail)
+
+    # inverse-CDF smoothing at plotting positions (j + 0.5) / n
+    nf = n_tail.astype(dtype)
+    probs = (slot.astype(dtype)[None, :] + 0.5) / jnp.where(nf == 0, 1.0, nf)[:, None]
+    quantiles = _gpinv_masked(probs, k, sigma, slot_valid)
+    smoothed_asc = jnp.log(quantiles + expxcutoff[:, None])
+
+    smooth_ok = (n_tail > 4) & jnp.isfinite(k)
+
+    # scatter the smoothed tail back to original positions (descending order)
+    desc_src = jnp.clip(n_tail[:, None] - 1 - slot[None, :], 0, tail_max - 1)
+    smoothed_desc = jnp.take_along_axis(smoothed_asc, desc_src, axis=1)
+    keep_orig = jnp.take_along_axis(x, tail_idx, axis=1)
+    use_smoothed = slot_valid & smooth_ok[:, None]
+    scatter_vals = jnp.where(use_smoothed, smoothed_desc, keep_orig)
+    rows = jnp.arange(B)[:, None]
+    x = x.at[rows, tail_idx].set(scatter_vals)
+
+    # truncate at zero (only when smoothing ran), then self-normalize
+    x = jnp.where(smooth_ok[:, None] & (x > 0), 0.0, x)
+    x = x - logsumexp(x, axis=1, keepdims=True)
+
+    khat = jnp.where(n_tail <= 4, jnp.inf, k)
+    return x, khat
+
+
+# ---------------------------------------------------------------------------
+# SIS / TIS
+# ---------------------------------------------------------------------------
+
+
+@jax.jit
+def sislw_batch(log_weights):
+    """Standard IS: normalize rows; diagnostic is ESS = 1/sum(w^2).
+
+    Reference ``pyloo/sis.py:86-106``.
+    """
+    x = jnp.asarray(log_weights)
+    x = x - jnp.max(x, axis=1, keepdims=True)
+    x = x - logsumexp(x, axis=1, keepdims=True)
+    ess = 1.0 / jnp.sum(jnp.exp(x) ** 2, axis=1)
+    return x, ess
+
+
+@jax.jit
+def tislw_batch(log_weights):
+    """Truncated IS (Ionides 2008): cap at log(Z-bar) + 0.5*log(S), renormalize.
+
+    Reference ``pyloo/tis.py:91-120``.
+    """
+    x = jnp.asarray(log_weights)
+    S = x.shape[1]
+    x = x - jnp.max(x, axis=1, keepdims=True)
+    log_z = logsumexp(x, axis=1, keepdims=True) - jnp.log(
+        jnp.asarray(S, dtype=x.dtype)
+    )
+    cap = log_z + 0.5 * jnp.log(jnp.asarray(S, dtype=x.dtype))
+    x = jnp.minimum(x, cap)
+    x = x - logsumexp(x, axis=1, keepdims=True)
+    ess = 1.0 / jnp.sum(jnp.exp(x) ** 2, axis=1)
+    return x, ess

@@ -1,0 +1,177 @@
+"""PSIS/SIS/TIS kernel tests: invariants + parity against the scalar oracle."""
+
+import numpy as np
+import pytest
+from numpy.testing import assert_allclose
+
+import pyloo_tpu as pl
+from pyloo_tpu.ops import gpdfit, gpinv, psislw_batch, tail_length
+
+from .oracle import fit_gpd_zhang_stephens, gpd_quantile, psis_matrix, sis_row, tis_row
+
+
+def make_log_weights(rng, n_obs=8, n_samples=1000, scale=1.0, heavy=False):
+    if heavy:
+        # heavy-tailed raw weights drive high Pareto k
+        return rng.standard_t(df=2, size=(n_obs, n_samples)) * scale
+    return rng.normal(size=(n_obs, n_samples)) * scale
+
+
+class TestPsisParity:
+    @pytest.mark.parametrize("n_samples", [100, 500, 2000])
+    @pytest.mark.parametrize("reff", [1.0, 0.7, 0.3])
+    def test_matches_oracle(self, rng, n_samples, reff):
+        lw = make_log_weights(rng, n_obs=16, n_samples=n_samples)
+        got_lw, got_k = pl.psislw(lw, reff=reff)
+        want_lw, want_k = psis_matrix(lw, reff=reff)
+        assert_allclose(np.asarray(got_lw), want_lw, rtol=1e-9, atol=1e-9)
+        assert_allclose(np.asarray(got_k), want_k, rtol=1e-9, atol=1e-9)
+
+    def test_matches_oracle_heavy_tails(self, rng):
+        lw = make_log_weights(rng, n_obs=32, n_samples=800, scale=3.0, heavy=True)
+        got_lw, got_k = pl.psislw(lw)
+        want_lw, want_k = psis_matrix(lw)
+        assert_allclose(np.asarray(got_lw), want_lw, rtol=1e-8, atol=1e-8)
+        assert_allclose(np.asarray(got_k), want_k, rtol=1e-8, atol=1e-8)
+
+    def test_multidim_obs(self, rng):
+        lw = rng.normal(size=(3, 5, 400))
+        got_lw, got_k = pl.psislw(lw)
+        want_lw, want_k = psis_matrix(lw.reshape(-1, 400))
+        assert_allclose(np.asarray(got_lw).reshape(-1, 400), want_lw, atol=1e-9)
+        assert_allclose(np.asarray(got_k).ravel(), want_k, atol=1e-9)
+
+
+class TestPsisInvariants:
+    def test_weights_normalize(self, rng):
+        lw = make_log_weights(rng)
+        smoothed, k = pl.psislw(lw)
+        totals = np.exp(np.asarray(smoothed)).sum(axis=1)
+        assert_allclose(totals, 1.0, rtol=1e-12)
+
+    def test_smoothing_changes_tail(self, rng):
+        lw = make_log_weights(rng, n_obs=1, n_samples=1000)
+        smoothed, k = pl.psislw(lw)
+        norm_only = lw[0] - lw[0].max()
+        norm_only -= np.log(np.exp(norm_only).sum())
+        assert not np.allclose(np.asarray(smoothed)[0], norm_only)
+
+    def test_constant_weights_k_inf(self):
+        lw = np.zeros((2, 500))
+        smoothed, k = pl.psislw(lw)
+        assert np.all(np.isinf(np.asarray(k)))
+        assert_allclose(np.asarray(smoothed), np.full((2, 500), -np.log(500)))
+
+    def test_tiny_sample_k_inf(self, rng):
+        # with S=10 the tail budget is ceil(10/5)=2 <= 4 exceedances
+        lw = rng.normal(size=(3, 10))
+        smoothed, k = pl.psislw(lw)
+        assert np.all(np.isinf(np.asarray(k)))
+
+    def test_dataarray_roundtrip(self, rng):
+        values = rng.normal(size=(4, 250, 8))
+        da = pl.DataArray(
+            values,
+            ("chain", "draw", "school"),
+            {"school": np.array([f"s{i}" for i in range(8)])},
+        )
+        lw, k = pl.psislw(da)
+        assert lw.dims == ("school", "__sample__")
+        assert k.dims == ("school",)
+        flat = values.transpose(2, 0, 1).reshape(8, -1)
+        want_lw, want_k = psis_matrix(flat)
+        assert_allclose(lw.values, want_lw, atol=1e-9)
+        assert_allclose(k.values, want_k, atol=1e-9)
+
+
+class TestGpdFit:
+    def test_against_oracle(self, rng):
+        for n in [5, 20, 117, 400]:
+            sample = np.sort(rng.gamma(2.0, 1.0, size=n))
+            k_got, s_got = gpdfit(sample)
+            k_want, s_want = fit_gpd_zhang_stephens(sample)
+            assert_allclose(float(k_got), k_want, rtol=1e-10)
+            assert_allclose(float(s_got), s_want, rtol=1e-10)
+
+    def test_recovers_known_shape(self, rng):
+        # draws from a GPD with k=0.4, sigma=1: estimate should be close
+        u = rng.uniform(size=4000)
+        sample = np.sort(np.expm1(-0.4 * np.log1p(-u)) / 0.4)
+        k_got, s_got = gpdfit(sample)
+        assert abs(float(k_got) - 0.4) < 0.05
+        assert abs(float(s_got) - 1.0) < 0.1
+
+
+class TestGpinv:
+    @pytest.mark.parametrize("kappa", [-1.0, -0.3, 0.0, 0.3, 1.0])
+    @pytest.mark.parametrize("sigma", [0.5, 1.0, 3.0])
+    def test_matches_oracle(self, kappa, sigma):
+        probs = np.linspace(0.01, 0.99, 50)
+        got = np.asarray(gpinv(probs, kappa, sigma))
+        want = gpd_quantile(probs, kappa, sigma)
+        assert_allclose(got, want, rtol=1e-12)
+
+    def test_edge_probs(self):
+        probs = np.array([0.0, 0.5, 1.0])
+        got = np.asarray(gpinv(probs, 0.5, 1.0))
+        assert got[0] == 0.0
+        assert np.isinf(got[2])
+        got_neg = np.asarray(gpinv(probs, -0.5, 1.0))
+        assert_allclose(got_neg[2], 2.0)  # upper endpoint -sigma/kappa
+
+    def test_nonpositive_sigma_nan(self):
+        got = np.asarray(gpinv(np.array([0.1, 0.9]), 0.5, -1.0))
+        assert np.all(np.isnan(got))
+
+
+class TestSisTis:
+    def test_sis_matches_oracle(self, rng):
+        lw = make_log_weights(rng, n_obs=6, n_samples=300)
+        got_lw, got_ess = pl.sislw(lw)
+        for i in range(6):
+            want_lw, want_ess = sis_row(lw[i])
+            assert_allclose(np.asarray(got_lw)[i], want_lw, atol=1e-10)
+            assert_allclose(float(np.asarray(got_ess)[i]), want_ess, rtol=1e-10)
+
+    def test_tis_matches_oracle(self, rng):
+        lw = make_log_weights(rng, n_obs=6, n_samples=300, scale=2.0)
+        got_lw, got_ess = pl.tislw(lw)
+        for i in range(6):
+            want_lw, want_ess = tis_row(lw[i])
+            assert_allclose(np.asarray(got_lw)[i], want_lw, atol=1e-10)
+            assert_allclose(float(np.asarray(got_ess)[i]), want_ess, rtol=1e-10)
+
+    def test_ess_bounds(self, rng):
+        lw = make_log_weights(rng, n_obs=10, n_samples=500)
+        _, ess = pl.sislw(lw)
+        ess = np.asarray(ess)
+        assert np.all(ess > 0) and np.all(ess <= 500)
+
+
+class TestShardedExecution:
+    def test_multi_device_matches_single(self, rng):
+        import jax
+
+        from pyloo_tpu.ops import psislw_batch, tail_length
+        from pyloo_tpu.parallel import apply_rowwise, obs_mesh
+
+        assert len(jax.devices()) == 8, "conftest should provide 8 virtual devices"
+        lw = make_log_weights(rng, n_obs=37, n_samples=600)  # non-divisible B
+        m = tail_length(600, 1.0)
+        kern = lambda b: psislw_batch(b, m)
+        sharded = apply_rowwise(kern, lw, mesh=obs_mesh())
+        single = apply_rowwise(kern, lw, mesh=None)
+        assert_allclose(np.asarray(sharded[0]), np.asarray(single[0]), atol=1e-12)
+        assert_allclose(np.asarray(sharded[1]), np.asarray(single[1]), atol=1e-12)
+
+    def test_chunked_matches_whole(self, rng):
+        from pyloo_tpu.ops import psislw_batch, tail_length
+        from pyloo_tpu.parallel import apply_rowwise
+
+        lw = make_log_weights(rng, n_obs=50, n_samples=200)
+        m = tail_length(200, 1.0)
+        kern = lambda b: psislw_batch(b, m)
+        whole = apply_rowwise(kern, lw, mesh=None)
+        chunked = apply_rowwise(kern, lw, mesh=None, chunk_bytes=200 * 8 * 7)
+        assert_allclose(np.asarray(whole[0]), np.asarray(chunked[0]), atol=1e-12)
+        assert_allclose(np.asarray(whole[1]), np.asarray(chunked[1]), atol=1e-12)

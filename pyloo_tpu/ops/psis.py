@@ -60,23 +60,76 @@ def _cutoffmin(dtype) -> float:
 # ---------------------------------------------------------------------------
 
 
-def _gpdfit_batch(ary, n):
+def _softplus(t):
+    """log(1 + exp(t)), stable for all t."""
+    return jnp.maximum(t, 0.0) + jnp.log1p(jnp.exp(-jnp.abs(t)))
+
+
+def _log1mexp(t):
+    """log(1 - exp(t)) for t <= 0, stable near both ends (NaN for t > 0)."""
+    log2 = jnp.asarray(math.log(2.0), dtype=t.dtype)
+    return jnp.where(
+        t > -log2,
+        jnp.log(-jnp.expm1(jnp.minimum(t, 0.0))),
+        jnp.log1p(-jnp.exp(t)),
+    ) + jnp.where(t > 0, jnp.nan, 0.0)
+
+
+def _signed_add(sign_a, log_a, sign_b, log_b):
+    """Add two signed-log numbers: returns (sign, log|a + b|)."""
+    hi = jnp.maximum(log_a, log_b)
+    lo = jnp.minimum(log_a, log_b)
+    same = sign_a == sign_b
+    mag = jnp.where(
+        same,
+        hi + jnp.log1p(jnp.exp(lo - hi)),
+        hi + _log1mexp(lo - hi),
+    )
+    # -inf + -inf: both zero
+    mag = jnp.where(jnp.isneginf(hi), -jnp.inf, mag)
+    sign = jnp.where(same, sign_a, jnp.where(log_a >= log_b, sign_a, sign_b))
+    return sign, mag
+
+
+def _log1p_negby(sign_b, log_by):
+    """log(1 - b*y) given b*y in signed-log form (sign_b, log|b*y|).
+
+    sign_b < 0 (so -b*y > 0): softplus(log|b*y|).
+    sign_b > 0: log(1 - |b*y|), NaN when |b*y| >= 1 — identical failure
+    semantics to direct log1p.
+    """
+    return jnp.where(sign_b < 0, _softplus(log_by), _log1mexp(log_by))
+
+
+def _gpdfit_batch(log_ary, n):
     """Zhang-Stephens empirical-Bayes GPD fit, vectorized over rows.
+
+    TPU-hardened formulation: exceedances enter as *logarithms* and every
+    intermediate (the candidate-``b`` grid, the posterior-mean ``b``, the
+    scale) is carried in signed-log form.  The direct formulation overflows
+    on TPU where float64 is emulated with float32 exponent range (values
+    beyond ~1e±38 flush); exceedance dynamic ranges of e^±100 are routine for
+    heavy-tailed weights.  Algebraically identical to the reference fit
+    (``pyloo/psis.py:163-208``): same grid, same profile likelihood, same
+    posterior-mean b, same k shrinkage.
 
     Parameters
     ----------
-    ary : (B, M) array
-        Ascending exceedances per row, left-aligned; slots ``j >= n[b]`` hold 0.
+    log_ary : (B, M) array
+        Log of ascending exceedances per row, left-aligned; slots
+        ``j >= n[b]`` hold ``-inf`` (i.e. exceedance 0).
     n : (B,) int array
         Number of valid exceedances per row.
 
     Returns
     -------
-    k, sigma : (B,) arrays
-        Shape and scale estimates (posterior-mean ``b``, shrunk ``k``).
+    k : (B,) array
+        Shrunk shape estimate.
+    sign_sigma, log_sigma : (B,) arrays
+        Scale estimate in signed-log form (``sigma = sign * exp(log)``).
     """
-    B, M = ary.shape
-    dtype = ary.dtype
+    B, M = log_ary.shape
+    dtype = log_ary.dtype
     eps = jnp.finfo(dtype).eps
     nf = n.astype(dtype)
 
@@ -87,29 +140,41 @@ def _gpdfit_batch(ary, n):
 
     # order statistics entering the b-grid: first quartile and the maximum
     q_idx = jnp.clip((n + 2) // 4 - 1, 0, M - 1)
-    quart = jnp.take_along_axis(ary, q_idx[:, None], axis=1)[:, 0]
-    last = jnp.take_along_axis(
-        ary, jnp.clip(n - 1, 0, M - 1)[:, None], axis=1
+    log_quart = jnp.take_along_axis(log_ary, q_idx[:, None], axis=1)[:, 0]
+    log_last = jnp.take_along_axis(
+        log_ary, jnp.clip(n - 1, 0, M - 1)[:, None], axis=1
     )[:, 0]
 
-    b_grid = (1.0 - jnp.sqrt(m_est[:, None] / (grid[None, :] - 0.5))) / (
-        _PRIOR_BS * quart[:, None]
-    ) + 1.0 / last[:, None]  # (B, m_max)
+    # b_i = 1/y_max + c_i / (3 * y_quart) with c_i = 1 - sqrt(m_est/(i-0.5));
+    # c_i < 0 always (i <= m_est), so the second term is negative.
+    c = 1.0 - jnp.sqrt(m_est[:, None] / (grid[None, :] - 0.5))  # (B, m_max) < 0
+    log_term2 = jnp.log(-c) - jnp.log(jnp.asarray(_PRIOR_BS, dtype)) - log_quart[:, None]
+    sign_b, log_b = _signed_add(
+        jnp.ones((B, 1), dtype),
+        -log_last[:, None] * jnp.ones_like(c),
+        -jnp.ones_like(c),
+        log_term2,
+    )  # (B, m_max)
 
-    slot_valid = (
-        jnp.arange(M, dtype=jnp.int32)[None, :] < n[:, None]
-    )  # (B, M); invalid ary slots are exactly 0 so log1p(-b*0)=0 drops out
+    def profile_loglik(_, cols):
+        s_col, l_col = cols  # (B,) each
+        # masked mean over the row's exceedances of log1p(-b * y); invalid
+        # slots have log_ary = -inf so their contribution is exactly 0
+        terms = _log1p_negby(s_col[:, None], l_col[:, None] + log_ary)
+        return None, jnp.sum(terms, axis=1) / nf
 
-    def profile_loglik(_, b_col):
-        # masked mean over the row's exceedances of log1p(-b * y)
-        s = jnp.sum(jnp.log1p(-b_col[:, None] * ary), axis=1)
-        return None, s / nf
-
-    _, k_cols = jax.lax.scan(profile_loglik, None, b_grid.T)  # (m_max, B)
+    _, k_cols = jax.lax.scan(profile_loglik, None, (sign_b.T, log_b.T))
     k_grid = k_cols.T  # (B, m_max)
 
-    # marginal posterior weight of each candidate b (log scale), then softmax
-    len_scale = nf[:, None] * (jnp.log(-(b_grid / k_grid)) - k_grid - 1.0)
+    # marginal posterior weight of each candidate (log scale), then softmax;
+    # log(-(b/k)) = log|b| - log|k| when b and k have opposite signs (always
+    # true for feasible candidates), NaN otherwise — matching the reference.
+    log_neg_b_over_k = jnp.where(
+        sign_b * jnp.sign(k_grid) < 0,
+        log_b - jnp.log(jnp.abs(k_grid)),
+        jnp.nan,
+    )
+    len_scale = nf[:, None] * (log_neg_b_over_k - k_grid - 1.0)
     len_scale = jnp.where(grid_valid, len_scale, -jnp.inf)
     ls_max = jnp.max(len_scale, axis=1, keepdims=True)
     w = jnp.where(grid_valid, jnp.exp(len_scale - ls_max), 0.0)
@@ -118,14 +183,36 @@ def _gpdfit_batch(ary, n):
     w = jnp.where(w >= 10.0 * eps, w, 0.0)
     w = w / jnp.sum(w, axis=1, keepdims=True)
 
-    b_post = jnp.sum(b_grid * w, axis=1)  # (B,)
+    # posterior mean b in signed-log form: sum of positive and negative parts
+    logw = jnp.where(w > 0, jnp.log(w), -jnp.inf)
+    wb = logw + log_b
+    pos = jnp.where(sign_b > 0, wb, -jnp.inf)
+    neg = jnp.where(sign_b < 0, wb, -jnp.inf)
+    pos_max = jnp.max(pos, axis=1)
+    neg_max = jnp.max(neg, axis=1)
+    log_pos = jnp.where(
+        jnp.isneginf(pos_max),
+        -jnp.inf,
+        pos_max + jnp.log(jnp.sum(jnp.exp(pos - pos_max[:, None]), axis=1)),
+    )
+    log_neg = jnp.where(
+        jnp.isneginf(neg_max),
+        -jnp.inf,
+        neg_max + jnp.log(jnp.sum(jnp.exp(neg - neg_max[:, None]), axis=1)),
+    )
+    sign_bp, log_bp = _signed_add(
+        jnp.ones((B,), dtype), log_pos, -jnp.ones((B,), dtype), log_neg
+    )
+
     k_post = (
-        jnp.sum(jnp.where(slot_valid, jnp.log1p(-b_post[:, None] * ary), 0.0), axis=1)
+        jnp.sum(_log1p_negby(sign_bp[:, None], log_bp[:, None] + log_ary), axis=1)
         / nf
     )
-    sigma = -k_post / b_post
+    # sigma = -k/b: positive when k and b have opposite signs
+    sign_sigma = -jnp.sign(k_post) * sign_bp
+    log_sigma = jnp.log(jnp.abs(k_post)) - log_bp
     k_post = (nf * k_post + _PRIOR_K * 0.5) / (nf + _PRIOR_K)
-    return k_post, sigma
+    return k_post, sign_sigma, log_sigma
 
 
 def gpdfit(ary):
@@ -139,7 +226,8 @@ def gpdfit(ary):
     if squeeze:
         ary = ary[None, :]
     n = jnp.full((ary.shape[0],), ary.shape[1], dtype=jnp.int32)
-    k, sigma = _gpdfit_batch(ary, n)
+    k, sign_sigma, log_sigma = _gpdfit_batch(jnp.log(ary), n)
+    sigma = sign_sigma * jnp.exp(log_sigma)
     if squeeze:
         return k[0], sigma[0]
     return k, sigma
@@ -215,27 +303,41 @@ def psislw_batch(log_weights, tail_max: int):
     # candidate tail: the top M draws; the (M+1)-th largest is the cutoff
     vals, idx = jax.lax.top_k(x, tail_max + 1)  # descending, (B, M+1)
     xcutoff = jnp.maximum(vals[:, tail_max], cutoff_floor)  # (B,)
-    expxcutoff = jnp.exp(xcutoff)
 
     tail_vals = vals[:, :tail_max]
     tail_idx = idx[:, :tail_max]
     in_tail = tail_vals > xcutoff[:, None]  # strict, preserves tie semantics
     n_tail = jnp.sum(in_tail.astype(jnp.int32), axis=1)  # (B,)
 
-    # exceedances in ascending order, left-aligned into M fixed slots
+    # exceedances in ascending order, left-aligned into M fixed slots,
+    # carried as logs: log(exp(x) - exp(xcutoff)) = x + log1mexp(xcutoff - x).
+    # The log-domain form survives TPU's float32 exponent range.
     slot = jnp.arange(tail_max, dtype=jnp.int32)
     asc_src = jnp.clip(n_tail[:, None] - 1 - slot[None, :], 0, tail_max - 1)
     asc_vals = jnp.take_along_axis(tail_vals, asc_src, axis=1)
     slot_valid = slot[None, :] < n_tail[:, None]
-    exceed = jnp.where(slot_valid, jnp.exp(asc_vals) - expxcutoff[:, None], 0.0)
+    gap = jnp.minimum(xcutoff[:, None] - asc_vals, 0.0)  # <= 0 for valid slots
+    log_exceed = jnp.where(slot_valid, asc_vals + _log1mexp(gap), -jnp.inf)
 
-    k, sigma = _gpdfit_batch(exceed, n_tail)
+    k, sign_sigma, log_sigma = _gpdfit_batch(log_exceed, n_tail)
 
-    # inverse-CDF smoothing at plotting positions (j + 0.5) / n
+    # inverse-CDF smoothing at plotting positions (j + 0.5) / n, in log space:
+    # smoothed = log(sigma * qGPD(p; k) + exp(xcutoff))
     nf = n_tail.astype(dtype)
+    eps = jnp.finfo(dtype).eps
     probs = (slot.astype(dtype)[None, :] + 0.5) / jnp.where(nf == 0, 1.0, nf)[:, None]
-    quantiles = _gpinv_masked(probs, k, sigma, slot_valid)
-    smoothed_asc = jnp.log(quantiles + expxcutoff[:, None])
+    log1m_p = jnp.log1p(-jnp.where(slot_valid, probs, 0.5))
+    u = -k[:, None] * log1m_p  # sign(u) == sign(k); expm1(u)/k > 0 always
+    abs_u = jnp.abs(u)
+    log_abs_expm1 = jnp.where(u >= 0, u, 0.0) + _log1mexp(-abs_u)
+    log_q = jnp.where(
+        jnp.abs(k)[:, None] < eps,
+        jnp.log(-log1m_p),
+        log_abs_expm1 - jnp.log(jnp.abs(k))[:, None],
+    )
+    smoothed_asc = jnp.logaddexp(log_sigma[:, None] + log_q, xcutoff[:, None])
+    # sigma <= 0 poisons the row with NaN, matching reference gpinv semantics
+    smoothed_asc = jnp.where(sign_sigma[:, None] > 0, smoothed_asc, jnp.nan)
 
     smooth_ok = (n_tail > 4) & jnp.isfinite(k)
 

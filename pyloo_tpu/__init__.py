@@ -25,11 +25,15 @@ if not logging.root.handlers:
 
 from .base import ISMethod, compute_importance_weights
 from .containers import DataArray, Dataset, InferenceData
+from .data import load_example_data
+from .elpd import ELPDData
+from .loo import loo
 from .psis import psislw
 from .rcparams import rcParams
 from .sis import sislw
 from .tis import tislw
 from .utils import from_dict, get_log_likelihood, to_inference_data
+from .waic import waic
 
 __version__ = "0.1.0"
 
@@ -39,6 +43,9 @@ __all__ = [
     "DataArray",
     "Dataset",
     "InferenceData",
+    "ELPDData",
+    "loo",
+    "waic",
     "psislw",
     "sislw",
     "tislw",
@@ -46,4 +53,5 @@ __all__ = [
     "from_dict",
     "get_log_likelihood",
     "to_inference_data",
+    "load_example_data",
 ]

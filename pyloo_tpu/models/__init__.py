@@ -1,0 +1,27 @@
+"""Model bridge: JAX-native samplers, wrappers, and example models.
+
+The reference integrates with PyMC (reference ``pyloo/wrapper/pymc/``); this
+package provides the capability-equivalent TPU-native stack: pure-function
+log-density models, an adaptive HMC sampler (vmapped chains, scan over
+steps), variational fits (Laplace/ADVI), and a wrapper protocol powering
+refit-based workflows (reloo, k-fold CV, moment matching).
+"""
+
+from .hmc import sample_hmc
+from .examples import (
+    eight_schools_centered,
+    eight_schools_noncentered,
+    roaches_model,
+    wells_model,
+)
+from .wrapper import JAXModelWrapper, Model
+
+__all__ = [
+    "sample_hmc",
+    "eight_schools_centered",
+    "eight_schools_noncentered",
+    "roaches_model",
+    "wells_model",
+    "JAXModelWrapper",
+    "Model",
+]

@@ -1,0 +1,286 @@
+"""Functional model description and posterior fitting.
+
+The TPU-native counterpart of the reference's PyMC coupling: a model is a
+pair of pure functions (unconstrained log joint, pointwise log likelihood)
+over a flat parameter vector, plus metadata to name/reshape/constrain draws.
+Everything downstream (HMC, Laplace, ADVI, refitting workflows) composes from
+these functions with ``jax.grad``/``vmap``/``jit``.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field, replace
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..containers import DataArray, Dataset, InferenceData
+from .hmc import sample_hmc
+
+__all__ = ["Model", "fit", "JAXModelWrapper"]
+
+
+@dataclass(frozen=True)
+class Model:
+    """A Bayesian model as pure functions of a flat unconstrained vector.
+
+    Attributes
+    ----------
+    name : str
+    data : dict
+        Arrays the likelihood depends on; the observation-indexed entries are
+        listed in ``obs_keys`` so workflows (k-fold, reloo) can subset them.
+    param_shapes : dict[str, tuple]
+        Layout of the flat unconstrained vector, in insertion order.
+    logp : callable ``(params_dict, data) -> scalar``
+        Unnormalized log joint in unconstrained space (including Jacobian
+        terms for any transformed parameter).
+    log_lik : callable ``(params_dict, data) -> (n_obs,)``
+        Pointwise log likelihood in unconstrained space.
+    constrain : callable ``(params_dict) -> dict``, optional
+        Maps unconstrained draws to named constrained posterior variables.
+    obs_keys : tuple of str
+        Keys of ``data`` indexed by observation (subsettable).
+    """
+
+    name: str
+    data: dict
+    param_shapes: dict
+    logp: Callable
+    log_lik: Callable
+    constrain: Callable | None = None
+    obs_keys: tuple = ()
+
+    @property
+    def flat_dim(self) -> int:
+        return int(sum(np.prod(s, dtype=int) for s in self.param_shapes.values()))
+
+    @property
+    def n_obs(self) -> int:
+        return int(np.asarray(self.data[self.obs_keys[0]]).shape[0])
+
+    def unravel(self, q):
+        """Flat vector -> dict of named unconstrained parameters."""
+        out = {}
+        i = 0
+        for name, shape in self.param_shapes.items():
+            size = int(np.prod(shape, dtype=int))
+            out[name] = q[i : i + size].reshape(shape)
+            i += size
+        return out
+
+    def ravel(self, params: dict):
+        return jnp.concatenate(
+            [jnp.ravel(jnp.asarray(params[name])) for name in self.param_shapes]
+        )
+
+    def logp_flat(self, q, data=None):
+        return self.logp(self.unravel(q), self.data if data is None else data)
+
+    def log_lik_flat(self, q, data=None):
+        return self.log_lik(self.unravel(q), self.data if data is None else data)
+
+    def with_data(self, **updates) -> "Model":
+        new_data = dict(self.data)
+        new_data.update(updates)
+        return replace(self, data=new_data)
+
+    def subset_observations(self, keep_idx) -> "Model":
+        """Model restricted to the observations in ``keep_idx``."""
+        keep_idx = np.asarray(keep_idx)
+        updates = {k: np.asarray(self.data[k])[keep_idx] for k in self.obs_keys}
+        return self.with_data(**updates)
+
+
+def fit(
+    model: Model,
+    *,
+    draws: int = 1000,
+    tune: int = 1000,
+    chains: int = 4,
+    seed: int = 0,
+    compute_log_likelihood: bool = True,
+    init: np.ndarray | None = None,
+    **hmc_kwargs,
+) -> InferenceData:
+    """Sample the model's posterior with adaptive HMC and assemble results.
+
+    Returns an :class:`InferenceData` with ``posterior`` (constrained,
+    named), ``log_likelihood`` and ``observed_data`` groups — the same shape
+    contract as the reference's ``pm.sample(idata_kwargs={"log_likelihood":
+    True})`` output.
+    """
+    data = model.data
+
+    def logp_q(q):
+        return model.logp(model.unravel(q), data)
+
+    q0 = np.zeros(model.flat_dim) if init is None else init
+    draws_flat, accept = sample_hmc(
+        logp_q,
+        q0,
+        num_warmup=tune,
+        num_samples=draws,
+        num_chains=chains,
+        seed=seed,
+        **hmc_kwargs,
+    )  # (C, T, D)
+    C, T, D = draws_flat.shape
+
+    unravel_v = jax.vmap(jax.vmap(model.unravel))
+    upars = unravel_v(jnp.asarray(draws_flat))
+    constrained = (
+        jax.vmap(jax.vmap(lambda u: model.constrain(u)))(upars)
+        if model.constrain is not None
+        else upars
+    )
+    posterior = {
+        name: DataArray(
+            np.asarray(values),
+            ("chain", "draw") + tuple(f"{name}_dim_{i}" for i in range(values.ndim - 2)),
+            name=name,
+        )
+        for name, values in constrained.items()
+    }
+
+    groups = {
+        "posterior": Dataset(posterior),
+        "sample_stats": Dataset(
+            {
+                "accept_rate": DataArray(
+                    np.full((C, T), accept), ("chain", "draw")
+                ),
+                # raw flat unconstrained draws: powers refit workflows
+                # (log_likelihood_i, moment matching) without inversion
+                "_flat_draws": DataArray(
+                    draws_flat, ("chain", "draw", "flat_param")
+                ),
+            }
+        ),
+        "observed_data": Dataset(
+            {
+                k: DataArray(np.asarray(v), (f"{k}_dim_0",), name=k)
+                for k, v in data.items()
+                if k in model.obs_keys
+            }
+        ),
+    }
+
+    if compute_log_likelihood:
+        ll = jax.jit(
+            jax.vmap(jax.vmap(lambda q: model.log_lik_flat(q)))
+        )(jnp.asarray(draws_flat))
+        groups["log_likelihood"] = Dataset(
+            {
+                "obs": DataArray(
+                    np.asarray(ll), ("chain", "draw", "obs_id"), name="obs"
+                )
+            }
+        )
+
+    return InferenceData(**groups)
+
+
+class JAXModelWrapper:
+    """Standardized access to a fitted functional model.
+
+    Capability-equivalent to the reference ``PyMCWrapper``
+    (``pyloo/wrapper/pymc/pymc.py:32-807``): data selection/mutation,
+    posterior refitting, per-observation log-likelihood on held-out data, and
+    constrained<->unconstrained transforms — over :class:`Model`'s pure
+    functions instead of a PyTensor graph.
+    """
+
+    def __init__(self, model: Model, idata: InferenceData | None = None, *,
+                 sample_kwargs: dict | None = None):
+        self.model = model
+        self.idata = idata
+        self.sample_kwargs = dict(sample_kwargs or {})
+        self._original_data = {
+            k: np.asarray(model.data[k]).copy() for k in model.data
+        }
+        for v in self._original_data.values():
+            v.setflags(write=False)
+
+    # -- introspection ------------------------------------------------------
+    @property
+    def observed_data(self):
+        return {k: np.asarray(self.model.data[k]) for k in self.model.obs_keys}
+
+    @property
+    def n_obs(self):
+        return self.model.n_obs
+
+    def get_observed_name(self):
+        return self.model.obs_keys[0]
+
+    # -- data mutation ------------------------------------------------------
+    def select_observations(self, indices):
+        """Split data into (selected, remaining) per-observation subsets."""
+        n = self.n_obs
+        idx = np.arange(n)[indices] if isinstance(indices, slice) else np.atleast_1d(
+            np.asarray(indices)
+        )
+        if idx.dtype == bool:
+            idx = np.nonzero(idx)[0]
+        if idx.size and (idx.min() < 0 or idx.max() >= n):
+            raise IndexError(f"observation indices out of range [0, {n})")
+        mask = np.zeros(n, dtype=bool)
+        mask[idx] = True
+        selected = {k: np.asarray(self.model.data[k])[mask] for k in self.model.obs_keys}
+        remaining = {k: np.asarray(self.model.data[k])[~mask] for k in self.model.obs_keys}
+        return selected, remaining
+
+    def set_data(self, new_data: dict):
+        self.model = self.model.with_data(**new_data)
+
+    def reset_data(self):
+        self.model = self.model.with_data(
+            **{k: v.copy() for k, v in self._original_data.items()}
+        )
+
+    # -- refitting ----------------------------------------------------------
+    def sample_posterior(self, **kwargs) -> InferenceData:
+        opts = dict(self.sample_kwargs)
+        opts.update(kwargs)
+        idata = fit(self.model, **opts)
+        return idata
+
+    def log_likelihood_i(self, holdout_data: dict, idata: InferenceData):
+        """Log-lik of held-out observation(s) under a refitted posterior.
+
+        ``holdout_data`` maps obs_keys to the held-out slices.  Returns an
+        array (chain, draw, n_holdout).
+        """
+        model_i = self.model.with_data(**holdout_data)
+        draws = self._flat_draws(idata)
+        ll = jax.jit(
+            jax.vmap(jax.vmap(lambda q: model_i.log_lik_flat(q)))
+        )(jnp.asarray(draws))
+        return np.asarray(ll)
+
+    @staticmethod
+    def _flat_draws(idata):
+        """(chain, draw, flat_dim) unconstrained draws stored by :func:`fit`."""
+        ss = getattr(idata, "sample_stats", None)
+        if ss is not None and "_flat_draws" in ss:
+            return ss._flat_draws.values
+        raise ValueError(
+            "InferenceData does not carry flat unconstrained draws; produce "
+            "it with pyloo_tpu.models.fit / JAXModelWrapper.sample_posterior"
+        )
+
+    # -- transforms ---------------------------------------------------------
+    def get_unconstrained_parameters(self):
+        """Posterior draws as a (chain*draw, flat_dim) unconstrained matrix."""
+        v = self._flat_draws(self.idata)
+        return v.reshape(-1, v.shape[-1])
+
+    def get_constrained_parameters(self):
+        """Posterior draws as named constrained arrays (chain, draw, ...)."""
+        return {
+            name: var.values
+            for name, var in self.idata.posterior.data_vars.items()
+        }

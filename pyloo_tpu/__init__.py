@@ -24,8 +24,10 @@ if not logging.root.handlers:
     )
 
 from .base import ISMethod, compute_importance_weights
+from .compare import loo_compare
 from .containers import DataArray, Dataset, InferenceData
 from .data import load_example_data
+from .e_loo import ExpectationResult, compute_pareto_k, e_loo, k_hat
 from .elpd import ELPDData
 from .loo import loo
 from .psis import psislw
@@ -45,7 +47,12 @@ __all__ = [
     "InferenceData",
     "ELPDData",
     "loo",
+    "loo_compare",
     "waic",
+    "e_loo",
+    "ExpectationResult",
+    "compute_pareto_k",
+    "k_hat",
     "psislw",
     "sislw",
     "tislw",

@@ -30,6 +30,8 @@ from .data import load_example_data
 from .e_loo import ExpectationResult, compute_pareto_k, e_loo, k_hat
 from .elpd import ELPDData
 from .loo import loo
+from .loo_approximate_posterior import importance_resample, loo_approximate_posterior
+from .loo_subsample import loo_subsample, update_subsample
 from .psis import psislw
 from .rcparams import rcParams
 from .sis import sislw
@@ -48,6 +50,10 @@ __all__ = [
     "ELPDData",
     "loo",
     "loo_compare",
+    "loo_subsample",
+    "update_subsample",
+    "loo_approximate_posterior",
+    "importance_resample",
     "waic",
     "e_loo",
     "ExpectationResult",

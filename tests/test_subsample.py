@@ -1,0 +1,302 @@
+"""Tests for loo_subsample, estimators, approximations, importance_resample."""
+
+import warnings
+
+import numpy as np
+import pytest
+from numpy.testing import assert_allclose
+
+import pyloo_tpu as pl
+from pyloo_tpu.approximations import LPDApproximation, thin_draws
+from pyloo_tpu.estimators import (
+    SubsampleIndices,
+    compare_indices,
+    compute_sampling_probabilities,
+    diff_srs_estimate,
+    hansen_hurwitz_estimate,
+    srs_estimate,
+    subsample_indices,
+)
+
+from .oracle import logmeanexp
+
+
+@pytest.fixture(scope="module")
+def big_idata():
+    rng = np.random.default_rng(0)
+    mu = rng.normal(-1, 0.3, size=5000)
+    ll = mu[None, None, :] + rng.normal(0, 0.4, size=(2, 400, 5000))
+    return pl.from_dict(
+        posterior={"mu": rng.normal(size=(2, 400))},
+        log_likelihood={"obs": ll},
+    )
+
+
+@pytest.fixture(scope="module")
+def full_loo(big_idata):
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        return pl.loo(big_idata, reff=1.0)
+
+
+class TestEstimators:
+    def test_srs_closed_form(self, rng):
+        y = rng.normal(size=50)
+        est = srs_estimate(y, N=1000)
+        assert_allclose(est.y_hat, 1000 * y.mean())
+        assert_allclose(
+            est.v_y_hat, 1000**2 * (1 - 50 / 1000) * np.var(y, ddof=1) / 50
+        )
+        assert_allclose(est.hat_v_y, 1000 * np.var(y, ddof=1))
+
+    def test_diff_srs_exact_when_approx_exact(self, rng):
+        # if y == y_approx on the sample, the estimate is the full-approx sum
+        y_approx = rng.normal(size=200)
+        idx = np.sort(rng.choice(200, size=50, replace=False))
+        est = diff_srs_estimate(y_approx[idx], y_approx, idx)
+        assert_allclose(est.y_hat, y_approx.sum())
+        assert_allclose(est.v_y_hat, 0.0, atol=1e-20)
+
+    def test_hh_population_total(self, rng):
+        # with z proportional to |y| the HH estimate is near-exact
+        y = -np.abs(rng.normal(size=500)) - 1
+        z = compute_sampling_probabilities(y)
+        idx = rng.choice(500, size=150, p=z, replace=True)
+        uniq, counts = np.unique(idx, return_counts=True)
+        est = hansen_hurwitz_estimate(z=z[uniq], m_i=counts, y=y[uniq], N=500)
+        # PPS with z ∝ |y| makes y/z constant up to sign -> tiny variance
+        assert abs(est.y_hat - y.sum()) / abs(y.sum()) < 0.02
+        assert est.m == 150
+
+    def test_hh_validation(self, rng):
+        with pytest.raises(ValueError, match="must be positive"):
+            hansen_hurwitz_estimate(
+                z=np.array([0.5, 0.0]), m_i=np.ones(2), y=np.ones(2), N=10
+            )
+        with pytest.raises(ValueError, match="same length"):
+            hansen_hurwitz_estimate(
+                z=np.array([0.5]), m_i=np.ones(2), y=np.ones(2), N=10
+            )
+
+    def test_subsample_indices(self, rng):
+        approx = rng.normal(size=100)
+        np.random.seed(0)
+        srs_idx = subsample_indices("diff_srs", approx, 30)
+        assert len(srs_idx.idx) == 30
+        assert np.all(np.diff(srs_idx.idx) > 0)  # sorted, unique
+        assert np.all(srs_idx.m_i == 1)
+        hh_idx = subsample_indices("hh_pps", approx, 30)
+        assert hh_idx.m_i.sum() == 30
+        with pytest.raises(ValueError, match="cannot exceed"):
+            subsample_indices("srs", approx, 200)
+        with pytest.raises(ValueError, match="Unknown estimator"):
+            subsample_indices("bogus", approx, 10)
+
+    def test_compare_indices(self):
+        new = SubsampleIndices(np.array([1, 2, 3]), np.ones(3, dtype=int))
+        cur = SubsampleIndices(np.array([3, 4]), np.ones(2, dtype=int))
+        diff = compare_indices(new, cur)
+        assert list(diff["new"].idx) == [1, 2]
+        assert list(diff["add"].idx) == [3]
+        assert list(diff["remove"].idx) == [4]
+
+
+class TestApproximations:
+    def test_lpd_matches_logmeanexp(self, big_idata):
+        ll = big_idata.log_likelihood.obs.stack(__sample__=("chain", "draw"))
+        approx = LPDApproximation().compute_approximation(ll)
+        expect = np.array([logmeanexp(row) for row in ll.values[:20]])
+        assert_allclose(approx[:20], expect, rtol=1e-10)
+
+    def test_plpd_fallback_mean(self, big_idata):
+        from pyloo_tpu.approximations import PLPDApproximation
+
+        ll = big_idata.log_likelihood.obs.stack(__sample__=("chain", "draw"))
+        ap = PLPDApproximation(posterior=big_idata.posterior)
+        with pytest.warns(UserWarning, match="approximate PLPD"):
+            vals = ap.compute_approximation(ll)
+        assert_allclose(vals, ll.values.mean(axis=1), rtol=1e-12)
+
+    def test_plpd_with_likelihood_fn(self, big_idata):
+        from pyloo_tpu.approximations import PLPDApproximation
+
+        ll = big_idata.log_likelihood.obs.stack(__sample__=("chain", "draw"))
+        calls = []
+
+        def llfn(obs_slice, point_est):
+            calls.append(obs_slice)
+            return -1.0
+
+        ap = PLPDApproximation(
+            posterior=big_idata.posterior, log_likelihood_fn=llfn,
+            data=np.arange(10),
+        )
+        vals = ap.compute_approximation(ll)
+        assert vals.shape == (10,)
+        assert np.all(vals == -1.0)
+
+    def test_thin_draws(self, big_idata):
+        ll = big_idata.log_likelihood.obs.stack(__sample__=("chain", "draw"))
+        thinned = thin_draws(ll, 100)
+        assert thinned.sizes["__sample__"] == 100
+        with pytest.raises(ValueError, match="cannot exceed"):
+            thin_draws(ll, 10**6)
+        assert thin_draws(ll, None) is ll
+
+
+class TestLooSubsample:
+    @pytest.mark.parametrize("estimator", ["diff_srs", "srs", "hh_pps"])
+    def test_estimates_near_full_loo(self, big_idata, full_loo, estimator):
+        np.random.seed(42)
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            sub = pl.loo_subsample(
+                big_idata, observations=500, estimator=estimator, reff=1.0
+            )
+        z = abs(sub["elpd_loo"] - full_loo["elpd_loo"]) / max(
+            sub["subsampling_SE"], 1e-12
+        )
+        assert z < 4.0, (estimator, sub["elpd_loo"], full_loo["elpd_loo"])
+        assert sub["n_data_points"] == 5000
+        assert sub["subsample_size"] <= 500
+
+    def test_explicit_indices(self, big_idata):
+        idx = np.arange(100)
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            sub = pl.loo_subsample(big_idata, observations=idx, reff=1.0,
+                                   pointwise=True)
+        li = sub.loo_i.values
+        assert np.isfinite(li[:100]).all()
+        assert np.isnan(li[100:]).all()
+        assert sub["subsample_size"] == 100
+
+    def test_observations_none_is_full_loo(self, big_idata, full_loo):
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            res = pl.loo_subsample(big_idata, observations=None, reff=1.0)
+        assert_allclose(res["elpd_loo"], full_loo["elpd_loo"], rtol=1e-10)
+
+    def test_validation(self, big_idata):
+        with pytest.raises(ValueError, match="between 1 and"):
+            pl.loo_subsample(big_idata, observations=0, reff=1.0)
+        with pytest.raises(ValueError, match="between 1 and"):
+            pl.loo_subsample(big_idata, observations=10**7, reff=1.0)
+        with pytest.raises(TypeError, match="integers"):
+            pl.loo_subsample(
+                big_idata, observations=np.array([0.5, 1.5]), reff=1.0
+            )
+        with pytest.raises(ValueError, match="Invalid loo_approximation"):
+            pl.loo_subsample(big_idata, loo_approximation="bogus", reff=1.0)
+        with pytest.raises(ValueError, match="Invalid estimator"):
+            pl.loo_subsample(big_idata, estimator="bogus", reff=1.0)
+
+    def test_update_subsample(self, big_idata):
+        np.random.seed(1)
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            sub = pl.loo_subsample(big_idata, observations=200, reff=1.0)
+            upd = pl.update_subsample(sub, observations=400)
+        assert upd["subsample_size"] >= 390
+        assert np.isfinite(upd["elpd_loo"])
+        with pytest.raises(TypeError, match="ELPDData"):
+            pl.update_subsample("nope")
+
+    def test_print_format(self, big_idata):
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            sub = pl.loo_subsample(big_idata, observations=150, reff=1.0)
+        text = str(sub)
+        assert "subsampled log-likelihood" in text
+        assert "subsampling SE" in text
+
+    def test_subsample_in_compare(self, big_idata):
+        rng = np.random.default_rng(5)
+        ll2 = big_idata.log_likelihood.obs.values + rng.normal(
+            0, 0.01, size=big_idata.log_likelihood.obs.shape
+        ) - 0.2
+        idata2 = pl.from_dict(
+            posterior={"mu": big_idata.posterior.mu.values},
+            log_likelihood={"obs": ll2},
+        )
+        np.random.seed(3)
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            df = pl.loo_compare(
+                {"a": big_idata, "b": idata2}, observations=300
+            )
+        assert df.loc["a", "rank"] == 0  # model b is strictly worse
+
+
+class TestImportanceResample:
+    def test_basic(self, rng):
+        log_q = rng.normal(size=2000)
+        log_p = log_q + rng.normal(0, 0.1, size=2000)
+        idx = pl.importance_resample(log_p, log_q, seed=0)
+        assert idx.shape == (2000,)
+        assert idx.min() >= 0 and idx.max() < 2000
+        # without replacement: all unique
+        assert len(np.unique(idx)) == 2000
+        idx_wr = pl.importance_resample(log_p, log_q, method="psir", seed=0)
+        assert len(np.unique(idx_wr)) < 2000
+
+    def test_deterministic_with_seed(self, rng):
+        log_q = rng.normal(size=500)
+        log_p = log_q + rng.normal(0, 0.2, size=500)
+        i1 = pl.importance_resample(log_p, log_q, seed=11)
+        i2 = pl.importance_resample(log_p, log_q, seed=11)
+        assert np.array_equal(i1, i2)
+
+    def test_nonfinite_weights(self, rng):
+        log_q = rng.normal(size=300)
+        log_p = log_q.copy()
+        log_p[:10] = np.nan
+        with pytest.warns(UserWarning, match="non-finite importance weights"):
+            idx = pl.importance_resample(log_p, log_q, method="sis", seed=0)
+        assert not np.isin(idx, np.arange(10)).any()
+        with pytest.raises(ValueError, match="No valid importance weights"):
+            pl.importance_resample(
+                np.full(10, np.nan), np.zeros(10), method="sis"
+            )
+
+    def test_subsample_with_correction(self, big_idata):
+        rng = np.random.default_rng(9)
+        S = 800
+        log_q = rng.normal(size=S)
+        log_p = log_q + rng.normal(0, 0.05, size=S)
+        np.random.seed(2)
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            sub = pl.loo_subsample(
+                big_idata, observations=200, log_p=log_p, log_q=log_q,
+                seed=4, reff=1.0,
+            )
+        assert np.isfinite(sub["elpd_loo"])
+        assert hasattr(sub, "log_p")
+
+
+class TestLooApproximatePosterior:
+    def test_basic_run(self, big_idata, full_loo):
+        rng = np.random.default_rng(10)
+        S = 800
+        log_q = rng.normal(size=S)
+        log_p = log_q + rng.normal(0, 0.02, size=S)  # near-perfect proposal
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            res = pl.loo_approximate_posterior(
+                big_idata, log_p=log_p, log_q=log_q, seed=0, reff=1.0,
+                pointwise=True,
+            )
+        assert hasattr(res, "approximate_posterior")
+        # near-uniform correction: close to plain loo
+        assert abs(res["elpd_loo"] - full_loo["elpd_loo"]) / abs(
+            full_loo["elpd_loo"]
+        ) < 0.01
+        text = str(res)
+        assert "Posterior approximation correction used" in text
+
+    def test_length_mismatch(self, big_idata):
+        with pytest.raises(ValueError, match="same length"):
+            pl.loo_approximate_posterior(
+                big_idata, log_p=np.zeros(10), log_q=np.zeros(20), reff=1.0
+            )

@@ -31,6 +31,10 @@ from .e_loo import ExpectationResult, compute_pareto_k, e_loo, k_hat
 from .elpd import ELPDData
 from .loo import loo
 from .loo_approximate_posterior import importance_resample, loo_approximate_posterior
+from .loo_group import loo_group
+from .loo_i import loo_i
+from .loo_predictive_metric import MetricResult, loo_predictive_metric
+from .loo_score import LooScoreResult, loo_score
 from .loo_subsample import loo_subsample, update_subsample
 from .psis import psislw
 from .rcparams import rcParams
@@ -52,6 +56,12 @@ __all__ = [
     "loo_compare",
     "loo_subsample",
     "update_subsample",
+    "loo_group",
+    "loo_i",
+    "loo_predictive_metric",
+    "MetricResult",
+    "loo_score",
+    "LooScoreResult",
     "loo_approximate_posterior",
     "importance_resample",
     "waic",

@@ -1,0 +1,200 @@
+"""Tests for loo_group, loo_i, loo_predictive_metric, loo_score."""
+
+import warnings
+
+import numpy as np
+import pytest
+from numpy.testing import assert_allclose
+
+import pyloo_tpu as pl
+
+from .oracle import logmeanexp, psis_matrix
+
+
+@pytest.fixture(scope="module")
+def grouped_idata():
+    rng = np.random.default_rng(3)
+    n_obs, S = 60, 600
+    mu = rng.normal(-1, 0.2, size=n_obs)
+    ll = mu[None, None, :] + rng.normal(0, 0.3, size=(2, 300, n_obs))
+    return pl.from_dict(
+        posterior={"mu": rng.normal(size=(2, 300))},
+        log_likelihood={"obs": ll},
+    )
+
+
+class TestLooGroup:
+    def test_matches_manual_aggregation(self, grouped_idata):
+        group_ids = np.repeat(np.arange(6), 10)
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            res = pl.loo_group(grouped_idata, group_ids, reff=1.0, pointwise=True)
+        ll = grouped_idata.log_likelihood.obs.stack(
+            __sample__=("chain", "draw")
+        ).values
+        manual = np.stack(
+            [ll[group_ids == g].sum(axis=0) for g in range(6)]
+        )
+        lw, k = psis_matrix(-manual)
+        elpd = np.array(
+            [np.log(np.sum(np.exp(lw[g] + manual[g]))) for g in range(6)]
+        )
+        assert_allclose(res.logo_i.values, elpd, rtol=1e-9)
+        assert_allclose(res.pareto_k, k, rtol=1e-9)
+        assert res["n_groups"] == 6
+        assert_allclose(res["elpd_logo"], elpd.sum(), rtol=1e-9)
+        lppd = sum(logmeanexp(row) for row in manual)
+        assert_allclose(res["p_logo"], lppd - elpd.sum(), rtol=1e-7)
+
+    def test_print_format(self, grouped_idata):
+        group_ids = np.repeat(np.arange(6), 10)
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            res = pl.loo_group(grouped_idata, group_ids, reff=1.0)
+        assert "groups log-likelihood matrix" in str(res)
+        assert "elpd_logo" in str(res)
+
+    def test_group_length_validation(self, grouped_idata):
+        with pytest.raises(ValueError, match="must match"):
+            pl.loo_group(grouped_idata, np.arange(5), reff=1.0)
+
+    def test_noninteger_group_labels(self, grouped_idata):
+        labels = np.array(["a", "b", "c"] * 20)
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            res = pl.loo_group(grouped_idata, labels, reff=1.0, pointwise=True)
+        assert res["n_groups"] == 3
+        assert list(res.logo_i.coords["group"]) == ["a", "b", "c"]
+
+
+class TestLooI:
+    def test_matches_full_loo_row(self):
+        idata = pl.load_example_data("centered_eight")
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            full = pl.loo(idata, pointwise=True, reff=1.0)
+            for i in [0, 4, 7]:
+                single = pl.loo_i(i, idata, reff=1.0, pointwise=True)
+                assert_allclose(
+                    single["elpd_loo"], full.loo_i.values[i], rtol=1e-9
+                )
+                assert_allclose(
+                    float(np.atleast_1d(single["pareto_k"])[0]),
+                    full.pareto_k.values[i],
+                    rtol=1e-9,
+                )
+        assert single["n_data_points"] == 1
+        assert np.isfinite(single["se"])
+
+    def test_index_validation(self):
+        idata = pl.load_example_data("centered_eight")
+        with pytest.raises(IndexError):
+            pl.loo_i(100, idata, reff=1.0)
+        with pytest.raises(ValueError, match="single integer"):
+            pl.loo_i([0, 1], idata, reff=1.0)
+        with pytest.raises(TypeError, match="integer"):
+            pl.loo_i("zero", idata, reff=1.0)
+
+
+@pytest.fixture(scope="module")
+def pp_idata():
+    # gaussian predictive model with known observations
+    rng = np.random.default_rng(11)
+    n_obs, C, T = 40, 2, 400
+    theta = rng.normal(0, 1, size=n_obs)
+    y = theta + rng.normal(0, 0.5, size=n_obs)
+    pp = theta[None, None, :] + rng.normal(0, 0.5, size=(C, T, n_obs))
+    pp2 = theta[None, None, :] + rng.normal(0, 0.5, size=(C, T, n_obs))
+    ll = -0.5 * np.log(2 * np.pi * 0.25) - 0.5 * (
+        (y[None, None, :] - pp * 0 - theta[None, None, :]) ** 2
+    ) / 0.25
+    ll = ll + rng.normal(0, 0.05, size=ll.shape)  # draw-varying
+    return pl.from_dict(
+        posterior={"theta": rng.normal(size=(C, T))},
+        log_likelihood={"obs": ll},
+        posterior_predictive={"obs": pp, "obs2": pp2},
+        observed_data={"obs": y},
+        dims={"obs": ["obs_id"], "obs2": ["obs_id"]},
+    ), y
+
+
+class TestLooPredictiveMetric:
+    def test_mae_mse_rmse(self, pp_idata):
+        idata, y = pp_idata
+        mae = pl.loo_predictive_metric(idata, y, var_name="obs", metric="mae")
+        mse = pl.loo_predictive_metric(idata, y, var_name="obs", metric="mse")
+        rmse = pl.loo_predictive_metric(idata, y, var_name="obs", metric="rmse")
+        assert 0 < mae["estimate"] < 2
+        assert_allclose(rmse["estimate"], np.sqrt(mse["estimate"]), rtol=1e-12)
+        assert mae["se"] > 0 and mse["se"] > 0
+
+    def test_binary_metrics(self):
+        rng = np.random.default_rng(5)
+        n_obs = 50
+        p = rng.uniform(0.2, 0.8, size=n_obs)
+        y = (rng.uniform(size=n_obs) < p).astype(float)
+        pp = (rng.uniform(size=(2, 200, n_obs)) < p[None, None, :]).astype(float)
+        ll = np.where(
+            y[None, None, :] == 1, np.log(p), np.log1p(-p)
+        )[None][0] + rng.normal(0, 0.02, size=(2, 200, n_obs))
+        idata = pl.from_dict(
+            posterior={"p": rng.normal(size=(2, 200))},
+            log_likelihood={"obs": ll},
+            posterior_predictive={"obs": pp},
+            observed_data={"obs": y},
+        )
+        acc = pl.loo_predictive_metric(idata, y, metric="acc")
+        bacc = pl.loo_predictive_metric(idata, y, metric="balanced_acc")
+        assert 0 <= acc["estimate"] <= 1
+        assert 0 <= bacc["estimate"] <= 1
+
+    def test_validation(self, pp_idata):
+        idata, y = pp_idata
+        with pytest.raises(ValueError, match="Invalid metric"):
+            pl.loo_predictive_metric(idata, y, var_name="obs", metric="mape")
+        with pytest.raises(ValueError, match="must match"):
+            pl.loo_predictive_metric(idata, y[:-3], var_name="obs")
+        with pytest.raises(ValueError, match="does not have a"):
+            pl.loo_predictive_metric(idata, y, var_name="obs", group="prior")
+
+
+class TestLooScore:
+    def test_crps_and_scrps(self, pp_idata):
+        idata, y = pp_idata
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            crps = pl.loo_score(
+                idata, x_var="obs", x2_var="obs2", pointwise=True, seed=0, reff=1.0
+            )
+            scrps = pl.loo_score(
+                idata, x_var="obs", x2_var="obs2", scale=True, seed=0, reff=1.0
+            )
+        assert crps.estimates["Estimate"] < 0  # CRPS as defined is negative-oriented
+        assert crps.estimates["SE"] > 0
+        assert crps.pointwise.shape == (40,)
+        assert crps.pareto_k is not None
+        assert np.isfinite(scrps.estimates["Estimate"])
+
+    def test_seed_reproducible(self, pp_idata):
+        idata, y = pp_idata
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            a = pl.loo_score(idata, x_var="obs", x2_var="obs2", seed=3, reff=1.0)
+            b = pl.loo_score(idata, x_var="obs", x2_var="obs2", seed=3, reff=1.0)
+        assert_allclose(a.pointwise, b.pointwise)
+
+    def test_permutations_reduce_variance(self, pp_idata):
+        idata, y = pp_idata
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            multi = pl.loo_score(
+                idata, x_var="obs", x2_var="obs2", permutations=4, seed=1, reff=1.0
+            )
+        assert np.isfinite(multi.estimates["Estimate"])
+
+    def test_validation(self, pp_idata):
+        idata, y = pp_idata
+        with pytest.raises(ValueError, match="does not have a"):
+            pl.loo_score(idata, x_group="prior", reff=1.0)
+        with pytest.raises(ValueError, match="Multiple variables"):
+            pl.loo_score(idata, reff=1.0)  # two pp vars, no x_var

@@ -33,6 +33,14 @@ from .loo import loo
 from .loo_approximate_posterior import importance_resample, loo_approximate_posterior
 from .loo_group import loo_group
 from .loo_i import loo_i
+from .loo_kfold import (
+    _kfold_split_grouped,
+    _kfold_split_random,
+    _kfold_split_stratified,
+    loo_kfold,
+)
+from .reloo import reloo
+from .models import JAXModelWrapper, Model
 from .loo_predictive_metric import MetricResult, loo_predictive_metric
 from .loo_score import LooScoreResult, loo_score
 from .loo_subsample import loo_subsample, update_subsample
@@ -58,6 +66,13 @@ __all__ = [
     "update_subsample",
     "loo_group",
     "loo_i",
+    "loo_kfold",
+    "_kfold_split_random",
+    "_kfold_split_stratified",
+    "_kfold_split_grouped",
+    "reloo",
+    "JAXModelWrapper",
+    "Model",
     "loo_predictive_metric",
     "MetricResult",
     "loo_score",

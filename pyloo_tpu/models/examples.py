@@ -35,8 +35,15 @@ def _normal_logpdf(x, mu, sigma):
     return -0.5 * jnp.log(2 * jnp.pi) - jnp.log(sigma) - 0.5 * ((x - mu) / sigma) ** 2
 
 
-def eight_schools_centered() -> Model:
-    """Centered parameterization: theta_j ~ N(mu, tau) (funnel geometry)."""
+def eight_schools_centered(data=None) -> Model:
+    """Centered parameterization: theta_j ~ N(mu, tau) (funnel geometry).
+
+    ``theta`` tracks the number of observations, so the model carries a
+    ``builder`` and can be refit on data subsets (k-fold CV, reloo).
+    """
+    if data is None:
+        data = {"y": EIGHT_SCHOOLS_Y, "sigma": EIGHT_SCHOOLS_SIGMA}
+    n = len(np.asarray(data["y"]))
 
     def logp(params, data):
         mu, log_tau, theta = params["mu"], params["log_tau"], params["theta"]
@@ -60,17 +67,21 @@ def eight_schools_centered() -> Model:
 
     return Model(
         name="eight_schools_centered",
-        data={"y": EIGHT_SCHOOLS_Y, "sigma": EIGHT_SCHOOLS_SIGMA},
-        param_shapes={"mu": (), "log_tau": (), "theta": (8,)},
+        data=data,
+        param_shapes={"mu": (), "log_tau": (), "theta": (n,)},
         logp=logp,
         log_lik=log_lik,
         constrain=constrain,
         obs_keys=("y", "sigma"),
+        builder=eight_schools_centered,
     )
 
 
-def eight_schools_noncentered() -> Model:
+def eight_schools_noncentered(data=None) -> Model:
     """Non-centered parameterization: theta = mu + tau * theta_tilde."""
+    if data is None:
+        data = {"y": EIGHT_SCHOOLS_Y, "sigma": EIGHT_SCHOOLS_SIGMA}
+    n = len(np.asarray(data["y"]))
 
     def theta_of(params):
         return params["mu"] + jnp.exp(params["log_tau"]) * params["theta_t"]
@@ -96,12 +107,13 @@ def eight_schools_noncentered() -> Model:
 
     return Model(
         name="eight_schools_noncentered",
-        data={"y": EIGHT_SCHOOLS_Y, "sigma": EIGHT_SCHOOLS_SIGMA},
-        param_shapes={"mu": (), "log_tau": (), "theta_t": (8,)},
+        data=data,
+        param_shapes={"mu": (), "log_tau": (), "theta_t": (n,)},
         logp=logp,
         log_lik=log_lik,
         constrain=constrain,
         obs_keys=("y", "sigma"),
+        builder=eight_schools_noncentered,
     )
 
 

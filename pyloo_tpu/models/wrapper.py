@@ -52,6 +52,9 @@ class Model:
     log_lik: Callable
     constrain: Callable | None = None
     obs_keys: tuple = ()
+    # rebuilds the model for new data — required when parameter shapes track
+    # the number of observations (e.g. per-observation random effects)
+    builder: Callable | None = None
 
     @property
     def flat_dim(self) -> int:
@@ -85,6 +88,8 @@ class Model:
     def with_data(self, **updates) -> "Model":
         new_data = dict(self.data)
         new_data.update(updates)
+        if self.builder is not None:
+            return self.builder(new_data)
         return replace(self, data=new_data)
 
     def subset_observations(self, keep_idx) -> "Model":
@@ -214,7 +219,13 @@ class JAXModelWrapper:
         return self.model.n_obs
 
     def get_observed_name(self):
-        return self.model.obs_keys[0]
+        return "y" if "y" in self.model.obs_keys else self.model.obs_keys[0]
+
+    def get_observed_data(self):
+        """The primary observed-response array (first obs key named 'y' if
+        present, else the first obs key)."""
+        key = self.get_observed_name()
+        return np.asarray(self.model.data[key])
 
     # -- data mutation ------------------------------------------------------
     def select_observations(self, indices):
@@ -256,6 +267,14 @@ class JAXModelWrapper:
         """
         model_i = self.model.with_data(**holdout_data)
         draws = self._flat_draws(idata)
+        if model_i.flat_dim != draws.shape[-1]:
+            raise ValueError(
+                f"model for held-out data has {model_i.flat_dim} unconstrained"
+                f" parameters but the posterior draws have {draws.shape[-1]};"
+                " per-observation parameters cannot be scored on held-out"
+                " observations — marginalize them in log_lik or use a"
+                " fixed-dimension model"
+            )
         ll = jax.jit(
             jax.vmap(jax.vmap(lambda q: model_i.log_lik_flat(q)))
         )(jnp.asarray(draws))

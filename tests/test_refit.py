@@ -1,0 +1,193 @@
+"""Tests for the refit workflows: loo_kfold and reloo (slow-ish: real HMC)."""
+
+import warnings
+
+import numpy as np
+import pytest
+from numpy.testing import assert_allclose
+
+import jax.numpy as jnp
+
+import pyloo_tpu as pl
+from pyloo_tpu.loo_kfold import (
+    _kfold_split_grouped,
+    _kfold_split_random,
+    _kfold_split_stratified,
+)
+from pyloo_tpu.models.wrapper import Model, fit
+
+FAST = dict(draws=300, tune=400, chains=2)
+
+
+def location_scale_model(y):
+    """y ~ Normal(mu, exp(log_s)) — fixed parameter dimension, refittable."""
+
+    def logp(params, data):
+        mu, log_s = params["mu"], params["log_s"]
+        s = jnp.exp(log_s)
+        lp = -0.5 * (mu / 10.0) ** 2 - 0.5 * (log_s / 2.0) ** 2
+        resid = (data["y"] - mu) / s
+        return lp + jnp.sum(-0.5 * jnp.log(2 * jnp.pi) - log_s - 0.5 * resid**2)
+
+    def log_lik(params, data):
+        mu, log_s = params["mu"], params["log_s"]
+        s = jnp.exp(log_s)
+        resid = (data["y"] - mu) / s
+        return -0.5 * jnp.log(2 * jnp.pi) - log_s - 0.5 * resid**2
+
+    return Model(
+        name="location_scale",
+        data={"y": np.asarray(y, dtype=float)},
+        param_shapes={"mu": (), "log_s": ()},
+        logp=logp,
+        log_lik=log_lik,
+        constrain=lambda p: {"mu": p["mu"], "sigma": jnp.exp(p["log_s"])},
+        obs_keys=("y",),
+    )
+
+
+@pytest.fixture(scope="module")
+def wrapper():
+    rng = np.random.default_rng(0)
+    y = rng.normal(1.0, 1.0, size=30)
+    y[0] = 7.5  # influential outlier -> high pareto k
+    model = location_scale_model(y)
+    idata = fit(model, seed=7, **FAST)
+    return pl.JAXModelWrapper(model, idata, sample_kwargs=dict(seed=11, **FAST))
+
+
+class TestFoldSplits:
+    def test_random_balanced(self):
+        folds = _kfold_split_random(K=4, N=103, seed=0)
+        vals, counts = np.unique(folds, return_counts=True)
+        assert list(vals) == [1, 2, 3, 4]
+        assert counts.max() - counts.min() <= 1
+        again = _kfold_split_random(K=4, N=103, seed=0)
+        assert np.array_equal(folds, again)
+
+    def test_stratified_preserves_classes(self):
+        x = np.array([0] * 40 + [1] * 20)
+        folds = _kfold_split_stratified(K=4, x=x, seed=0)
+        for k in range(1, 5):
+            in_fold = x[folds == k]
+            assert (in_fold == 1).sum() == 5  # 20/4 per fold
+
+    def test_stratified_continuous_binning(self):
+        x = np.linspace(0, 1, 100)
+        folds = _kfold_split_stratified(K=5, x=x, seed=1)
+        assert set(np.unique(folds)) == {1, 2, 3, 4, 5}
+        # each fold spans the range rather than being contiguous
+        for k in range(1, 6):
+            assert x[folds == k].max() - x[folds == k].min() > 0.5
+
+    def test_grouped_keeps_groups_whole(self):
+        groups = np.repeat(np.arange(10), 7)
+        folds = _kfold_split_grouped(K=3, groups=groups, seed=2)
+        for g in range(10):
+            assert len(np.unique(folds[groups == g])) == 1
+
+    def test_grouped_k_clamped(self):
+        groups = np.repeat([0, 1, 2], 5)
+        folds = _kfold_split_grouped(K=10, groups=groups, seed=0)
+        assert folds.max() <= 3
+
+    def test_stratified_nan_rejected(self):
+        with pytest.raises(ValueError, match="NaN"):
+            _kfold_split_stratified(K=3, x=np.array([1.0, np.nan, 2.0]))
+
+
+class TestLooKfold:
+    def test_basic_kfold(self, wrapper):
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            res = pl.loo_kfold(wrapper, K=4, random_seed=0, pointwise=True)
+        assert res["n_data_points"] == 30
+        assert res["K"] == 4
+        assert np.isfinite(res["elpd_kfold"])
+        assert res.kfold_i.values.shape == (30,)
+        assert np.all(res.kfold_i.values != 0)
+        # kfold elpd should be in the same ballpark as PSIS-LOO
+        loo_res = pl.loo(wrapper.idata, reff=1.0)
+        assert abs(res["elpd_kfold"] - loo_res["elpd_loo"]) < 3.0
+        text = str(res)
+        assert "fold cross-validation" in text and "elpd_kfold" in text
+
+    def test_explicit_folds_and_validation(self, wrapper):
+        folds = np.tile([1, 2], 15)
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            res = pl.loo_kfold(wrapper, folds=folds)
+        assert res["K"] == 2
+        with pytest.raises(ValueError, match="must match"):
+            pl.loo_kfold(wrapper, folds=np.array([1, 2]))
+        with pytest.raises(ValueError, match="at least 2 unique"):
+            pl.loo_kfold(wrapper, folds=np.ones(30, dtype=int))
+        with pytest.raises(ValueError, match=">= 1"):
+            pl.loo_kfold(wrapper, folds=np.tile([0, 1], 15))
+        with pytest.raises(ValueError, match="positive"):
+            pl.loo_kfold(wrapper, K=0)
+        with pytest.raises(TypeError, match="JAXModelWrapper"):
+            pl.loo_kfold("not a wrapper")
+
+    def test_save_fits(self, wrapper):
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            res = pl.loo_kfold(wrapper, K=2, random_seed=3, save_fits=True)
+        assert "fits" in res.index
+        assert len(res["fits"]) == 2
+        idata_k, val_idx = res["fits"][0]
+        assert hasattr(idata_k, "posterior")
+
+    def test_stratified_and_grouped_run(self, wrapper):
+        y = wrapper.get_observed_data()
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            res_s = pl.loo_kfold(wrapper, K=2, stratify=(y > y.mean()), random_seed=0)
+            assert res_s.stratified
+            res_g = pl.loo_kfold(
+                wrapper, K=2, groups=np.repeat(np.arange(6), 5), random_seed=0
+            )
+            assert res_g.grouped
+
+
+class TestReloo:
+    def test_reloo_refits_bad_k(self, wrapper):
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            orig = pl.loo(wrapper.idata, pointwise=True, reff=1.0)
+            # force at least one refit by lowering the threshold
+            k_thresh = float(np.sort(orig.pareto_k.values)[-2]) - 1e-6
+            res = pl.reloo(wrapper, loo_orig=orig, k_thresh=k_thresh, verbose=False)
+        n_refit = int(np.sum(orig.pareto_k.values > k_thresh))
+        assert n_refit >= 1
+        assert int(np.sum(res.pareto_k.values == 0)) >= n_refit
+        assert np.isfinite(res["elpd_loo"])
+        # exact refits around the outlier move elpd, but not wildly
+        assert abs(res["elpd_loo"] - orig["elpd_loo"]) < 10.0
+        # original result untouched
+        assert not np.any(orig.pareto_k.values == 0)
+
+    def test_reloo_no_bad_k_returns_original(self, wrapper):
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            orig = pl.loo(wrapper.idata, pointwise=True, reff=1.0)
+            res = pl.reloo(wrapper, loo_orig=orig, k_thresh=10.0, verbose=False)
+        assert res is orig
+
+    def test_reloo_requires_wrapper_methods(self):
+        class Bad:
+            pass
+
+        with pytest.raises(TypeError, match="must be implemented"):
+            pl.reloo(Bad())
+
+    def test_data_restored_after_reloo(self, wrapper):
+        before = {k: v.copy() for k, v in wrapper.observed_data.items()}
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            orig = pl.loo(wrapper.idata, pointwise=True, reff=1.0)
+            k_thresh = float(np.sort(orig.pareto_k.values)[-1]) - 1e-6
+            pl.reloo(wrapper, loo_orig=orig, k_thresh=k_thresh, verbose=False)
+        after = wrapper.observed_data
+        for k in before:
+            assert_allclose(before[k], after[k])

@@ -33,6 +33,19 @@ from .loo import loo
 from .loo_approximate_posterior import importance_resample, loo_approximate_posterior
 from .loo_group import loo_group
 from .loo_i import loo_i
+from .helpers import (
+    ParameterConverter,
+    ShiftAndCovResult,
+    ShiftAndScaleResult,
+    ShiftResult,
+    UpdateQuantitiesResult,
+    compute_updated_r_eff,
+    extract_log_likelihood_for_observation,
+    log_lik_i_upars,
+    log_prob_upars,
+)
+from .loo_moment_match import loo_moment_match
+from .split_moment_match import loo_moment_match_split
 from .loo_kfold import (
     _kfold_split_grouped,
     _kfold_split_random,
@@ -73,6 +86,17 @@ __all__ = [
     "reloo",
     "JAXModelWrapper",
     "Model",
+    "loo_moment_match",
+    "loo_moment_match_split",
+    "ParameterConverter",
+    "ShiftAndCovResult",
+    "ShiftAndScaleResult",
+    "ShiftResult",
+    "UpdateQuantitiesResult",
+    "log_lik_i_upars",
+    "log_prob_upars",
+    "compute_updated_r_eff",
+    "extract_log_likelihood_for_observation",
     "loo_predictive_metric",
     "MetricResult",
     "loo_score",

@@ -1,0 +1,235 @@
+"""Tests for loo_moment_match / split moment matching."""
+
+import logging
+import warnings
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from numpy.testing import assert_allclose
+
+import pyloo_tpu as pl
+from pyloo_tpu.loo_moment_match import (
+    shift,
+    shift_and_cov,
+    shift_and_scale,
+    update_quantities_i,
+)
+from pyloo_tpu.models.wrapper import Model, fit
+
+logging.disable(logging.INFO)
+
+
+def make_outlier_model(seed=0, outlier=8.5, n=30):
+    rng = np.random.default_rng(seed)
+    y = rng.normal(1.0, 1.0, size=n)
+    y[0] = outlier
+
+    def logp(p, d):
+        s = jnp.exp(p["log_s"])
+        r = (d["y"] - p["mu"]) / s
+        return (
+            -0.5 * (p["mu"] / 10) ** 2
+            - 0.5 * (p["log_s"] / 2) ** 2
+            + jnp.sum(-0.5 * jnp.log(2 * jnp.pi) - p["log_s"] - 0.5 * r**2)
+        )
+
+    def ll(p, d):
+        s = jnp.exp(p["log_s"])
+        r = (d["y"] - p["mu"]) / s
+        return -0.5 * jnp.log(2 * jnp.pi) - p["log_s"] - 0.5 * r**2
+
+    return Model(
+        "ls", {"y": y}, {"mu": (), "log_s": ()}, logp, ll, obs_keys=("y",)
+    )
+
+
+@pytest.fixture(scope="module")
+def fitted():
+    model = make_outlier_model()
+    idata = fit(model, draws=500, tune=500, chains=2, seed=7)
+    wrapper = pl.JAXModelWrapper(model, idata)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        orig = pl.loo(idata, pointwise=True, reff=1.0)
+    return model, idata, wrapper, orig
+
+
+class TestTransforms:
+    def test_shift_matches_weighted_mean(self, rng):
+        upars = rng.normal(size=(500, 3))
+        lw = rng.normal(size=500)
+        lw -= np.log(np.sum(np.exp(lw)))
+        out = shift(upars, lw)
+        target = np.sum(np.exp(lw)[:, None] * upars, axis=0)
+        assert_allclose(out["upars"].mean(axis=0), target, rtol=1e-10)
+        assert_allclose(
+            out["shift"], target - upars.mean(axis=0), rtol=1e-10
+        )
+
+    def test_shift_and_scale_matches_moments(self, rng):
+        upars = rng.normal(size=(800, 2))
+        lw = -0.5 * (upars[:, 0] - 1.0) ** 2
+        lw -= np.log(np.sum(np.exp(lw)))
+        out = shift_and_scale(upars, lw)
+        target_mean = np.sum(np.exp(lw)[:, None] * upars, axis=0)
+        assert_allclose(out["upars"].mean(axis=0), target_mean, rtol=1e-9)
+        S = len(upars)
+        wvar = (
+            np.sum(np.exp(lw)[:, None] * upars**2, axis=0) - target_mean**2
+        ) * S / (S - 1)
+        assert_allclose(
+            out["upars"].var(axis=0) * out["scaling"] ** 0 / 1,
+            np.var(upars, axis=0) * out["scaling"] ** 2,
+            rtol=1e-9,
+        )
+        assert_allclose(
+            np.var(upars, axis=0) * out["scaling"] ** 2, wvar, rtol=1e-9
+        )
+
+    def test_shift_and_cov_matches_covariance(self, rng):
+        upars = rng.normal(size=(1000, 3)) @ np.array(
+            [[1.0, 0.3, 0.0], [0.0, 1.0, 0.5], [0.0, 0.0, 1.0]]
+        )
+        lw = -0.2 * upars[:, 0] ** 2
+        lw -= np.log(np.sum(np.exp(lw)))
+        out = shift_and_cov(upars, lw)
+        wcov = np.cov(upars, rowvar=False, aweights=np.exp(lw))
+        new_cov = np.cov(out["upars"], rowvar=False)
+        assert_allclose(new_cov, wcov, rtol=1e-6, atol=1e-8)
+
+    def test_cov_singular_fallback(self, rng):
+        upars = np.zeros((100, 2))  # degenerate covariance
+        lw = np.full(100, -np.log(100))
+        with pytest.warns(UserWarning, match="Cholesky"):
+            out = shift_and_cov(upars, lw)
+        assert_allclose(out["mapping"], np.eye(2))
+
+
+class TestMomentMatch:
+    def test_lowers_k_and_moves_elpd(self, fitted):
+        model, idata, wrapper, orig = fitted
+        assert orig.pareto_k.values.max() > 0.7
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            mm = pl.loo_moment_match(
+                wrapper, orig, max_iters=30, split=False, cov=True
+            )
+        assert mm.pareto_k.values.max() < 0.7
+        assert mm["elpd_loo"] < orig["elpd_loo"]  # PSIS was optimistic
+        # untouched observations keep their values
+        ok = orig.pareto_k.values <= 0.7
+        assert_allclose(
+            mm.loo_i.values[ok], orig.loo_i.values[ok], rtol=1e-12
+        )
+        # original object not mutated
+        assert orig.pareto_k.values.max() > 0.7
+
+    def test_split_variant(self, fitted):
+        model, idata, wrapper, orig = fitted
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            mm = pl.loo_moment_match(wrapper, orig, split=False, cov=True)
+            mms = pl.loo_moment_match(wrapper, orig, split=True, cov=True)
+        # split is more conservative: elpd between original and non-split
+        assert (
+            min(orig["elpd_loo"], mm["elpd_loo"])
+            <= mms["elpd_loo"]
+            <= max(orig["elpd_loo"], mm["elpd_loo"])
+        )
+
+    def test_custom_function_interface(self, fitted):
+        model, idata, wrapper, orig = fitted
+        y = model.data["y"]
+        draws = idata.sample_stats._flat_draws.values.reshape(-1, 2)
+
+        def ll_at(upars):
+            def one(q):
+                return model.log_lik({"mu": q[0], "log_s": q[1]}, {"y": y})
+
+            return np.asarray(jax.vmap(one)(jnp.asarray(upars)))
+
+        def logp_at(upars):
+            def one(q):
+                return model.logp({"mu": q[0], "log_s": q[1]}, {"y": y})
+
+            return np.asarray(jax.vmap(one)(jnp.asarray(upars)))
+
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            mm = pl.loo_moment_match(
+                object(),
+                orig,
+                post_draws=lambda m, **kw: {
+                    "mu": draws[:, 0], "log_s": draws[:, 1]
+                },
+                log_lik_i=lambda m, i, **kw: ll_at(draws)[:, i],
+                unconstrain_pars=lambda m, pars, **kw: np.column_stack(
+                    [pars["mu"], pars["log_s"]]
+                ),
+                log_prob_upars_fn=lambda m, upars, **kw: logp_at(upars),
+                log_lik_i_upars_fn=lambda m, upars, i, **kw: ll_at(upars)[:, i],
+                split=False,
+                cov=True,
+            )
+        assert mm.pareto_k.values.max() < 0.7
+
+    def test_missing_custom_functions(self, fitted):
+        _, _, _, orig = fitted
+        with pytest.raises(ValueError, match="Missing"):
+            pl.loo_moment_match(object(), orig, post_draws=lambda m, **kw: None)
+
+    def test_bad_signature_rejected(self, fitted):
+        _, _, _, orig = fitted
+        fns = dict(
+            post_draws=lambda m, **kw: None,
+            log_lik_i=lambda m, i, **kw: None,
+            unconstrain_pars=lambda m, pars, **kw: None,
+            log_prob_upars_fn=lambda m, upars, **kw: None,
+            log_lik_i_upars_fn=lambda wrong_name: None,  # missing args, no **kw
+        )
+        with pytest.raises(ValueError, match="missing required arguments"):
+            pl.loo_moment_match(object(), orig, **fns)
+
+    def test_requires_pointwise(self, fitted):
+        model, idata, wrapper, _ = fitted
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            non_pw = pl.loo(idata, pointwise=False, reff=1.0)
+        with pytest.raises(ValueError, match="pointwise"):
+            pl.loo_moment_match(wrapper, non_pw)
+
+    def test_through_loo_entry_point(self, fitted):
+        model, idata, wrapper, orig = fitted
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            res = pl.loo(
+                idata, pointwise=True, reff=1.0, moment_match=True,
+                wrapper=wrapper, split=False,
+            )
+        assert res.pareto_k.values.max() < orig.pareto_k.values.max()
+
+
+class TestUpdateQuantities:
+    def test_identity_transform_reproduces_original(self, fitted):
+        model, idata, wrapper, orig = fitted
+        from pyloo_tpu.helpers import ParameterConverter, log_prob_upars
+
+        upars = wrapper.get_unconstrained_parameters()
+        olp = log_prob_upars(wrapper, upars)
+        q = update_quantities_i(
+            wrapper, upars, 0, olp, 1.0,
+            converter=ParameterConverter(wrapper),
+        )
+        # identity transform: lr = -log_lik_i, so k matches plain PSIS
+        lw_ref, k_ref = pl.psislw(
+            -np.asarray(
+                jax.vmap(
+                    lambda qq: model.log_lik_flat(jnp.asarray(qq))
+                )(upars)
+            )[:, 0],
+            reff=1.0,
+        )
+        assert_allclose(q["ki"], float(np.asarray(k_ref)), rtol=1e-9)
+        assert_allclose(np.asarray(q["lwi"]), np.asarray(lw_ref), atol=1e-9)

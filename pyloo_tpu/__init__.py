@@ -54,6 +54,7 @@ from .loo_kfold import (
 )
 from .reloo import reloo
 from .models import JAXModelWrapper, Model
+from .loo_nonfactor import loo_nonfactor
 from .loo_predictive_metric import MetricResult, loo_predictive_metric
 from .loo_score import LooScoreResult, loo_score
 from .loo_subsample import loo_subsample, update_subsample
@@ -97,6 +98,7 @@ __all__ = [
     "log_prob_upars",
     "compute_updated_r_eff",
     "extract_log_likelihood_for_observation",
+    "loo_nonfactor",
     "loo_predictive_metric",
     "MetricResult",
     "loo_score",

@@ -7,7 +7,9 @@ steps), variational fits (Laplace/ADVI), and a wrapper protocol powering
 refit-based workflows (reloo, k-fold CV, moment matching).
 """
 
+from .advi import ADVI, ADVIResult, compute_log_weights
 from .hmc import sample_hmc
+from .laplace import Laplace, LaplaceVIResult
 from .examples import (
     eight_schools_centered,
     eight_schools_noncentered,
@@ -18,6 +20,11 @@ from .wrapper import JAXModelWrapper, Model
 
 __all__ = [
     "sample_hmc",
+    "ADVI",
+    "ADVIResult",
+    "Laplace",
+    "LaplaceVIResult",
+    "compute_log_weights",
     "eight_schools_centered",
     "eight_schools_noncentered",
     "roaches_model",

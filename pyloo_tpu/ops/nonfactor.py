@@ -1,0 +1,92 @@
+"""Conditional log-likelihood kernels for non-factorized MVN / MVT models.
+
+TPU-first replacement for the reference per-draw Python loop
+(``pyloo/loo_nonfactor.py:466-557``): draws are a vmapped batch axis, and the
+Student-t quadratic form uses the rank-1 identity
+
+    beta_{-i} = (y-mu)^T P (y-mu) - g_i^2 / P_ii,   g = P (y-mu)
+
+(from expanding Proposition 3 of Bürkner, Gabry, Vehtari 2021), turning the
+reference's O(N * N^2) per-draw per-observation deletion loop into one
+batched einsum.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.scipy.special import gammaln
+
+__all__ = ["mvn_conditional_loglik", "mvt_conditional_loglik"]
+
+
+def _precision_terms(y, mu, cov=None, prec=None):
+    """g = P (y - mu) and diag(P), per draw; NaN rows mark singular draws."""
+    if prec is None:
+        prec = jnp.linalg.inv(cov)
+    r = y[None, :] - mu  # (S, N)
+    g = jnp.einsum("sij,sj->si", prec, r)
+    cbar = jnp.diagonal(prec, axis1=1, axis2=2)  # (S, N)
+    return r, g, cbar, prec
+
+
+@jax.jit
+def mvn_conditional_loglik(y, mu, cov=None, prec=None):
+    """(S, N) conditional leave-one-out log-densities for a joint MVN.
+
+    log p(y_i | y_-i, theta_s) = -0.5 log 2pi + 0.5 log Pbar_ii
+    - 0.5 g_i^2 / Pbar_ii.  Singular covariance draws give -inf rows
+    (reference semantics, loo_nonfactor.py:470-481).
+    """
+    r, g, cbar, _ = _precision_terms(y, mu, cov, prec)
+    eps = jnp.finfo(g.dtype).eps
+    bad = cbar <= 0
+    cbar_safe = jnp.where(bad, eps, cbar)
+    ll = (
+        -0.5 * jnp.log(2 * jnp.pi)
+        + 0.5 * jnp.log(cbar_safe)
+        - 0.5 * g**2 / cbar_safe
+    )
+    ll = jnp.where(bad, -jnp.inf, ll)
+    # singular inverse -> non-finite entries anywhere in the row
+    row_ok = jnp.all(jnp.isfinite(g) | bad, axis=1, keepdims=True)
+    return jnp.where(row_ok, ll, -jnp.inf)
+
+
+@jax.jit
+def mvt_conditional_loglik(y, mu, df, cov=None, prec=None):
+    """(S, N) conditional LOO log-densities for a joint multivariate-t.
+
+    Conditional is a Student-t with df+N-1 degrees of freedom, location
+    y_i - g_i/Pbar_ii and scale^2 (df + beta_-i)/(df+N-1)/Pbar_ii.
+    """
+    N = y.shape[0]
+    r, g, cbar, prec_mat = _precision_terms(y, mu, cov, prec)
+    eps = jnp.finfo(g.dtype).eps
+    bad = cbar <= 0
+    cbar_safe = jnp.where(bad, eps, cbar)
+
+    quad = jnp.einsum("si,si->s", r, g)  # (S,) full quadratic form
+    beta = quad[:, None] - g**2 / cbar_safe  # (S, N) rank-1 identity
+
+    cond_df = df[:, None] + N - 1  # (S, 1)
+    resid = g / cbar_safe  # y_i - cond_loc
+    cond_scale = (df[:, None] + beta) / (df[:, None] + N - 1) / cbar_safe
+
+    ll = (
+        gammaln((cond_df + 1) / 2)
+        - gammaln(cond_df / 2)
+        - 0.5 * jnp.log(cond_df * jnp.pi * cond_scale)
+        - ((cond_df + 1) / 2)
+        * jnp.log1p(resid**2 / (cond_scale * cond_df))
+    )
+    invalid = (
+        bad
+        | ~jnp.isfinite(beta)
+        | (cond_scale <= 0)
+        | (df[:, None] <= 0)
+        | ~jnp.isfinite(g)
+    )
+    return jnp.where(invalid, -jnp.inf, ll)

@@ -1,0 +1,194 @@
+"""Tests for loo_nonfactor (joint MVN/MVT conditional LOO)."""
+
+import warnings
+
+import numpy as np
+import pytest
+from numpy.testing import assert_allclose
+from scipy import stats
+
+import pyloo_tpu as pl
+from pyloo_tpu.ops.nonfactor import mvn_conditional_loglik, mvt_conditional_loglik
+
+
+def brute_force_mvn_conditional(y, mu, cov):
+    """Per-obs conditional density via explicit partitioned-normal formulas."""
+    N = len(y)
+    out = np.empty(N)
+    for i in range(N):
+        keep = np.delete(np.arange(N), i)
+        c11 = cov[i, i]
+        c12 = cov[np.ix_([i], keep)]
+        c22 = np.linalg.inv(cov[np.ix_(keep, keep)])
+        cond_mean = mu[i] + (c12 @ c22 @ (y[keep] - mu[keep]))[0]
+        cond_var = c11 - (c12 @ c22 @ c12.T)[0, 0]
+        out[i] = stats.norm.logpdf(y[i], cond_mean, np.sqrt(cond_var))
+    return out
+
+
+@pytest.fixture(scope="module")
+def mvn_idata():
+    rng = np.random.default_rng(42)
+    N, C, T = 12, 2, 150
+    A = rng.normal(size=(N, N)) * 0.3
+    true_cov = A @ A.T + np.eye(N)
+    true_mu = rng.normal(size=N)
+    y = rng.multivariate_normal(true_mu, true_cov)
+
+    # posterior draws jitter around the truth
+    mus = true_mu[None, None, :] + rng.normal(0, 0.05, size=(C, T, N))
+    covs = np.empty((C, T, N, N))
+    for c in range(C):
+        for t in range(T):
+            jitter = rng.normal(0, 0.01, size=(N, N))
+            covs[c, t] = true_cov + (jitter + jitter.T) / 2 + 0.01 * np.eye(N)
+    idata = pl.from_dict(
+        posterior={"mu": mus, "cov": covs},
+        observed_data={"y": y},
+    )
+    return idata, y, mus, covs
+
+
+class TestKernels:
+    def test_mvn_matches_brute_force(self, mvn_idata):
+        idata, y, mus, covs = mvn_idata
+        S = 5
+        mu_flat = mus.reshape(-1, len(y))[:S]
+        cov_flat = covs.reshape(-1, len(y), len(y))[:S]
+        got = np.asarray(mvn_conditional_loglik(y, mu_flat, cov=cov_flat))
+        for s in range(S):
+            want = brute_force_mvn_conditional(y, mu_flat[s], cov_flat[s])
+            assert_allclose(got[s], want, rtol=1e-8)
+
+    def test_prec_equals_cov_path(self, mvn_idata):
+        idata, y, mus, covs = mvn_idata
+        mu_flat = mus.reshape(-1, len(y))[:4]
+        cov_flat = covs.reshape(-1, len(y), len(y))[:4]
+        prec_flat = np.linalg.inv(cov_flat)
+        a = np.asarray(mvn_conditional_loglik(y, mu_flat, cov=cov_flat))
+        b = np.asarray(mvn_conditional_loglik(y, mu_flat, prec=prec_flat))
+        assert_allclose(a, b, rtol=1e-6)
+
+    def test_mvt_matches_direct_formula(self, mvn_idata):
+        idata, y, mus, covs = mvn_idata
+        N = len(y)
+        mu_flat = mus.reshape(-1, N)[:3]
+        cov_flat = covs.reshape(-1, N, N)[:3]
+        df = np.array([5.0, 10.0, 30.0])
+        got = np.asarray(
+            mvt_conditional_loglik(y, mu_flat, df, cov=cov_flat)
+        )
+        # direct per-obs computation with explicit deletions
+        for s in range(3):
+            P = np.linalg.inv(cov_flat[s])
+            r = y - mu_flat[s]
+            g = P @ r
+            cbar = np.diag(P)
+            for i in range(N):
+                keep = np.delete(np.arange(N), i)
+                Pmm = P[np.ix_(keep, keep)]
+                pcol = P[keep, i]
+                eff = Pmm - np.outer(pcol, pcol) / P[i, i]
+                beta = r[keep] @ eff @ r[keep]
+                cond_df = df[s] + N - 1
+                cond_loc = y[i] - g[i] / cbar[i]
+                cond_scale = (df[s] + beta) / cond_df / cbar[i]
+                from scipy.special import gammaln
+
+                want = (
+                    gammaln((cond_df + 1) / 2)
+                    - gammaln(cond_df / 2)
+                    - 0.5 * np.log(cond_df * np.pi * cond_scale)
+                    - ((cond_df + 1) / 2)
+                    * np.log(1 + (y[i] - cond_loc) ** 2 / (cond_scale * cond_df))
+                )
+                assert_allclose(got[s, i], want, rtol=1e-7)
+
+    def test_mvt_invalid_df(self, mvn_idata):
+        idata, y, mus, covs = mvn_idata
+        N = len(y)
+        out = np.asarray(
+            mvt_conditional_loglik(
+                y, mus.reshape(-1, N)[:1], np.array([-1.0]),
+                cov=covs.reshape(-1, N, N)[:1],
+            )
+        )
+        assert np.all(np.isneginf(out))
+
+
+class TestLooNonfactor:
+    def test_basic_run_and_report(self, mvn_idata):
+        idata, y, mus, covs = mvn_idata
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            res = pl.loo_nonfactor(idata, pointwise=True, reff=1.0)
+        assert res["n_data_points"] == 12
+        assert np.isfinite(res["elpd_loo"])
+        assert res.attrs["is_mvn"]
+        text = str(res)
+        assert "non-factorized multivariate normal model" in text
+
+    def test_student_t_report(self, mvn_idata):
+        idata, y, mus, covs = mvn_idata
+        C, T = mus.shape[:2]
+        rng = np.random.default_rng(0)
+        idata_t = pl.from_dict(
+            posterior={
+                "mu": mus, "cov": covs,
+                "df": 10 + rng.uniform(size=(C, T)),
+            },
+            observed_data={"y": y},
+        )
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            res = pl.loo_nonfactor(
+                idata_t, pointwise=True, reff=1.0, model_type="student_t"
+            )
+        assert np.isfinite(res["elpd_loo"])
+        assert "Student-t" in str(res)
+
+    def test_diagonal_cov_matches_factorized_loo(self):
+        # with diagonal covariance the conditionals are the marginals,
+        # so loo_nonfactor must agree with standard loo on the iid log-lik
+        rng = np.random.default_rng(1)
+        N, C, T = 10, 2, 200
+        y = rng.normal(size=N)
+        mus = rng.normal(0, 0.1, size=(C, T, N))
+        sig2 = 1.0 + 0.1 * rng.uniform(size=(C, T))
+        covs = np.einsum("ct,ij->ctij", sig2, np.eye(N))
+        idata = pl.from_dict(
+            posterior={"mu": mus, "cov": covs}, observed_data={"y": y}
+        )
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            res_nf = pl.loo_nonfactor(idata, pointwise=True, reff=1.0)
+        ll = (
+            -0.5 * np.log(2 * np.pi * sig2[..., None])
+            - 0.5 * (y[None, None, :] - mus) ** 2 / sig2[..., None]
+        )
+        idata_f = pl.from_dict(
+            posterior={"mu": mus}, log_likelihood={"obs": ll}
+        )
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            res_f = pl.loo(idata_f, pointwise=True, reff=1.0)
+        assert_allclose(res_nf["elpd_loo"], res_f["elpd_loo"], rtol=1e-8)
+        assert_allclose(res_nf.loo_i.values, res_f.loo_i.values, rtol=1e-8)
+
+    def test_validation(self, mvn_idata):
+        idata, y, mus, covs = mvn_idata
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            with pytest.raises(ValueError, match="not found"):
+                pl.loo_nonfactor(idata, mu_var_name="missing", reff=1.0)
+            no_cov = pl.from_dict(
+                posterior={"mu": mus}, observed_data={"y": y}
+            )
+            with pytest.raises(ValueError, match="covariance"):
+                pl.loo_nonfactor(no_cov, reff=1.0)
+            with pytest.raises(ValueError, match="Degrees of freedom"):
+                pl.loo_nonfactor(
+                    idata, model_type="student_t", reff=1.0
+                )
+            with pytest.raises(ValueError, match="model_type"):
+                pl.loo_nonfactor(idata, model_type="gamma", reff=1.0)

@@ -1,0 +1,130 @@
+"""Tests for the Laplace and ADVI variational fits."""
+
+import warnings
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from numpy.testing import assert_allclose
+
+import pyloo_tpu as pl
+from pyloo_tpu.models import ADVI, Laplace, compute_log_weights
+from pyloo_tpu.models.laplace import _regularize_matrix
+from pyloo_tpu.models.wrapper import Model
+
+
+@pytest.fixture(scope="module")
+def linreg():
+    rng = np.random.default_rng(42)
+    n = 500
+    X = rng.normal(size=n)
+    y = 0.5 + 1.5 * X + rng.normal(0, 0.8, size=n)
+
+    def logp(p, d):
+        mu = p["alpha"] + p["beta"] * d["X"]
+        s = jnp.exp(p["log_s"])
+        lp = (
+            -0.5 * (p["alpha"] / 2) ** 2
+            - 0.5 * (p["beta"] / 2) ** 2
+            - 0.5 * (p["log_s"] / 2) ** 2
+        )
+        return lp + jnp.sum(
+            -0.5 * jnp.log(2 * jnp.pi)
+            - p["log_s"]
+            - 0.5 * ((d["y"] - mu) / s) ** 2
+        )
+
+    def ll(p, d):
+        mu = p["alpha"] + p["beta"] * d["X"]
+        s = jnp.exp(p["log_s"])
+        return (
+            -0.5 * jnp.log(2 * jnp.pi)
+            - p["log_s"]
+            - 0.5 * ((d["y"] - mu) / s) ** 2
+        )
+
+    return Model(
+        "linreg",
+        {"X": X, "y": y},
+        {"alpha": (), "beta": (), "log_s": ()},
+        logp,
+        ll,
+        obs_keys=("X", "y"),
+    )
+
+
+class TestLaplace:
+    def test_map_recovers_truth(self, linreg):
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            res = Laplace(linreg).fit(draws=400, chains=2, seed=0)
+        assert abs(res.mu[0] - 0.5) < 0.15
+        assert abs(res.mu[1] - 1.5) < 0.15
+        assert res.idata.log_likelihood.obs.values.shape == (2, 400, 500)
+        # covariance is positive definite
+        assert np.all(np.linalg.eigvalsh(res.H_inv) > 0)
+
+    def test_logp_logq_and_loo(self, linreg):
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            lap = Laplace(linreg)
+            res = lap.fit(draws=400, chains=2, seed=0)
+            log_p, log_q = lap.compute_logp(), lap.compute_logq()
+            assert log_p.shape == log_q.shape == (800,)
+            r = pl.loo_approximate_posterior(
+                res.idata, log_p=log_p, log_q=log_q, reff=1.0,
+                pointwise=True, seed=0,
+            )
+        assert np.isfinite(r["elpd_loo"])
+        assert r.pareto_k.values.max() < 0.7  # Gaussian posterior: easy
+
+    def test_requires_fit(self, linreg):
+        with pytest.raises(RuntimeError, match="fit"):
+            Laplace(linreg).compute_logp()
+
+    def test_regularize_matrix(self):
+        good = np.eye(3)
+        out, msg = _regularize_matrix(good, 1e-8, 1e2)
+        assert msg is None and np.array_equal(out, good)
+        bad = np.diag([1.0, -1e-6, 2.0])
+        with pytest.warns(UserWarning, match="jitter"):
+            out, msg = _regularize_matrix(bad, 1e-8, 1e2)
+        assert np.all(np.linalg.eigvalsh(out) > 0)
+        hopeless = np.diag([1.0, -1e6, 1.0])
+        with pytest.raises(np.linalg.LinAlgError):
+            _regularize_matrix(hopeless, 1e-8, 1e-4)
+
+
+class TestADVI:
+    @pytest.mark.parametrize("method", ["meanfield", "fullrank"])
+    def test_fit_recovers_mean(self, linreg, method):
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            advi = ADVI(linreg, method)
+            res = advi.fit(n=2000, draws=300, seed=1)
+        assert abs(res.mean[0] - 0.5) < 0.2
+        assert abs(res.mean[1] - 1.5) < 0.2
+        # ELBO decreased (loss trace trending down)
+        assert np.mean(res.elbo_trace[-200:]) < np.mean(res.elbo_trace[:200])
+        lw = compute_log_weights(advi)
+        assert lw.shape == (300,)
+        assert np.isfinite(lw).all()
+
+    def test_advi_into_loo_approximate_posterior(self, linreg):
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            advi = ADVI(linreg, "meanfield")
+            res = advi.fit(n=2000, draws=400, seed=2)
+            r = pl.loo_approximate_posterior(
+                res.idata,
+                log_p=advi.compute_log_p(),
+                log_q=advi.compute_log_q(),
+                reff=1.0,
+                seed=0,
+            )
+        assert np.isfinite(r["elpd_loo"])
+        assert hasattr(r, "approximate_posterior")
+
+    def test_invalid_method(self, linreg):
+        with pytest.raises(ValueError, match="meanfield"):
+            ADVI(linreg, "laplace")

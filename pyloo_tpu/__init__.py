@@ -55,6 +55,14 @@ from .loo_kfold import (
 from .reloo import reloo
 from .models import JAXModelWrapper, Model
 from .loo_nonfactor import loo_nonfactor
+from .plots import (
+    influence_plot,
+    loo_difference_plot,
+    loo_plot,
+    plot_influence,
+    plot_loo,
+    plot_loo_difference,
+)
 from .loo_predictive_metric import MetricResult, loo_predictive_metric
 from .loo_score import LooScoreResult, loo_score
 from .loo_subsample import loo_subsample, update_subsample
@@ -99,6 +107,12 @@ __all__ = [
     "compute_updated_r_eff",
     "extract_log_likelihood_for_observation",
     "loo_nonfactor",
+    "loo_plot",
+    "influence_plot",
+    "loo_difference_plot",
+    "plot_loo",
+    "plot_influence",
+    "plot_loo_difference",
     "loo_predictive_metric",
     "MetricResult",
     "loo_score",

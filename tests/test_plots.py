@@ -1,0 +1,77 @@
+"""Smoke tests for the diagnostic plots (Agg backend)."""
+
+import warnings
+
+import matplotlib
+
+matplotlib.use("Agg")
+import matplotlib.pyplot as plt
+import numpy as np
+import pytest
+
+import pyloo_tpu as pl
+
+
+@pytest.fixture(scope="module")
+def results():
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        c = pl.load_example_data("centered_eight")
+        nc = pl.load_example_data("non_centered_eight")
+        return pl.loo(c, pointwise=True), pl.loo(nc, pointwise=True), c
+
+
+@pytest.fixture(autouse=True)
+def close_figures():
+    yield
+    plt.close("all")
+
+
+def test_plot_loo_k_and_elpd(results):
+    r1, _, _ = results
+    ax = pl.plot_loo(r1, threshold=0.7)
+    assert ax.get_ylabel() == "Pareto k"
+    assert len(ax.collections) >= 1
+    ax2 = pl.plot_loo(r1, show_elpd=True)
+    assert ax2.get_ylabel() == "ELPD"
+
+
+def test_plot_loo_requires_pointwise(results):
+    _, _, c = results
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        non_pw = pl.loo(c)
+    with pytest.raises(ValueError, match="pointwise"):
+        pl.plot_loo(non_pw)
+
+
+def test_plot_influence(results):
+    r1, _, _ = results
+    ax = pl.plot_influence(r1, n_points=5)
+    assert len(ax.patches) >= 5  # bars (>=5 if high-k forced in)
+    ax2 = pl.plot_influence(r1, n_points=-3, sort=True)
+    assert len(ax2.patches) >= 3
+
+
+def test_plot_loo_difference(results):
+    r1, r2, c = results
+    y = c.observed_data.y.values
+    ax = pl.plot_loo_difference(
+        y, r1, r2, group=(y > 5).astype(int), outlier_thresh=0.3, jitter=0.1
+    )
+    assert ax.get_ylabel() == "ELPD difference"
+    with pytest.raises(ValueError, match="must match"):
+        pl.plot_loo_difference(y[:3], r1, r2)
+
+
+def test_backend_validation(results):
+    r1, _, _ = results
+    with pytest.raises(KeyError, match="not implemented"):
+        pl.plot_loo(r1, backend="bokeh")
+
+
+def test_existing_axis_reused(results):
+    r1, _, _ = results
+    fig, my_ax = plt.subplots()
+    out = pl.plot_loo(r1, ax=my_ax)
+    assert out is my_ax

@@ -19,7 +19,8 @@ import jax.numpy as jnp
 
 sys.path.insert(0, ".")
 
-from pyloo_tpu.ops import psislw_batch, tail_length  # noqa: E402
+from pyloo_tpu.ops import tail_length  # noqa: E402
+from pyloo_tpu.ops.loo_kernels import loo_scores_psis_fast  # noqa: E402
 
 N_DRAWS = 4000
 TOTAL_OBS = 1_000_000
@@ -38,10 +39,11 @@ def main():
 
     @jax.jit
     def smooth(chunk):
-        lw, k = psislw_batch(chunk, m_tail)
-        # fold the smoothed weights into the per-row statistics the LOO
-        # pipeline consumes so XLA cannot dead-code the smoothing
-        return jnp.sum(lw, axis=1), k
+        # the full fused LOO pipeline: tail selection, GPD fit, inverse-CDF
+        # smoothing, and the weighted elpd/lppd reductions (scatter-free
+        # compact formulation, ops/loo_kernels.py:loo_scores_psis_fast)
+        elpd_i, k, lppd_i = loo_scores_psis_fast(-chunk, m_tail)
+        return elpd_i, k
 
     key = jax.random.PRNGKey(0)
     warm = make_chunk(key)

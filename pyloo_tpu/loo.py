@@ -26,6 +26,7 @@ from .elpd import ELPDData
 from .ops import tail_length
 from .ops.loo_kernels import (
     loo_scores_psis,
+    loo_scores_psis_fast,
     loo_scores_sis,
     loo_scores_tis,
     mixture_scores,
@@ -150,8 +151,15 @@ def loo(
     else:
         if method == ISMethod.PSIS:
             m_tail = tail_length(n_samples, reff)
+            # float32 requests take the scatter-free compact fast path;
+            # float64 keeps the exact-selection parity path
+            kernel = (
+                loo_scores_psis_fast
+                if matrix.dtype == np.float32
+                else loo_scores_psis
+            )
             elpd_i, diag, lppd_i = apply_rowwise(
-                lambda b: loo_scores_psis(b, m_tail), matrix, n_outputs=3
+                lambda b: kernel(b, m_tail), matrix, n_outputs=3
             )
         elif method == ISMethod.SIS:
             elpd_i, diag, lppd_i = apply_rowwise(

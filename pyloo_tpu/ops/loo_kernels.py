@@ -15,10 +15,17 @@ import jax
 import jax.numpy as jnp
 
 from .lse import logsumexp
-from .psis import psislw_batch, sislw_batch, tislw_batch
+from .psis import (
+    _gpdfit_batch,
+    _log1mexp,
+    psislw_batch,
+    sislw_batch,
+    tislw_batch,
+)
 
 __all__ = [
     "loo_scores_psis",
+    "loo_scores_psis_fast",
     "loo_scores_sis",
     "loo_scores_tis",
     "mixture_scores",
@@ -34,6 +41,100 @@ def loo_scores_psis(log_lik, tail_max: int):
     elpd_i = logsumexp(lw + log_lik, axis=1)
     lppd_i = logsumexp(log_lik, axis=1, b_inv=S)
     return elpd_i, k, lppd_i
+
+
+@partial(jax.jit, static_argnames=("tail_max",))
+def loo_scores_psis_fast(log_lik, tail_max: int):
+    """Scatter-free PSIS-LOO scores over compact top-k arrays (fast path).
+
+    Identity making this possible: with x = -ll - C (C the row max of -ll),
+    every non-tail element satisfies x_smoothed + ll = -C exactly, so
+
+        lse(x_s + ll) = -C + log((S - n_tail) + sum_tail exp(s_j - x_j))
+        lse(x_s)      = log(sum_nontail exp(x) + sum_tail exp(s_j))
+
+    and the elpd closes over the (B, M) compacted tail — no scatter back into
+    the (B, S) array, no full sort.  Tail selection uses ``approx_max_k``
+    (TPU-optimized); intended for the float32 throughput path, where the
+    ~1e-3 diagnostic tolerance of approximate selection is immaterial.
+    """
+    x_raw = -log_lik
+    B, S = x_raw.shape
+    dtype = x_raw.dtype
+    M = tail_max
+    import math
+
+    cutoff_floor = jnp.asarray(math.log(float(jnp.finfo(dtype).tiny)), dtype)
+
+    C = jnp.max(x_raw, axis=1, keepdims=True)
+    x = x_raw - C
+
+    vals, _ = jax.lax.approx_max_k(x, M + 1)  # descending (B, M+1)
+    xcutoff = jnp.maximum(vals[:, M], cutoff_floor)  # (B,)
+    tail_vals = vals[:, :M]
+    in_tail = tail_vals > xcutoff[:, None]
+    n_tail = jnp.sum(in_tail.astype(jnp.int32), axis=1)
+    nf = n_tail.astype(dtype)
+
+    # everything stays in DESCENDING layout: the GPD fit takes masked sums
+    # (order-free) plus two single-element order statistics, and the plotting
+    # position of descending slot d is (n - d - 0.5)/n — no (B, M) gathers.
+    slot = jnp.arange(M, dtype=jnp.int32)
+    slot_valid = slot[None, :] < n_tail[:, None]
+    gap = jnp.minimum(xcutoff[:, None] - tail_vals, 0.0)
+    log_exceed = jnp.where(slot_valid, tail_vals + _log1mexp(gap), -jnp.inf)
+
+    # ascending index q_idx maps to descending index n - 1 - q_idx
+    q_idx = jnp.clip((n_tail + 2) // 4 - 1, 0, M - 1)
+    q_desc = jnp.clip(n_tail - 1 - q_idx, 0, M - 1)
+    log_quart = jnp.take_along_axis(log_exceed, q_desc[:, None], axis=1)[:, 0]
+    log_last = log_exceed[:, 0]
+
+    k, sign_sigma, log_sigma = _gpdfit_batch(
+        log_exceed, n_tail, log_quart=log_quart, log_last=log_last
+    )
+
+    eps = jnp.finfo(dtype).eps
+    probs = (nf[:, None] - slot.astype(dtype)[None, :] - 0.5) / jnp.where(
+        nf == 0, 1.0, nf
+    )[:, None]
+    log1m_p = jnp.log1p(-jnp.where(slot_valid, probs, 0.5))
+    u = -k[:, None] * log1m_p
+    abs_u = jnp.abs(u)
+    log_abs_expm1 = jnp.where(u >= 0, u, 0.0) + _log1mexp(-abs_u)
+    log_q = jnp.where(
+        jnp.abs(k)[:, None] < eps,
+        jnp.log(-log1m_p),
+        log_abs_expm1 - jnp.log(jnp.abs(k))[:, None],
+    )
+    smoothed = jnp.logaddexp(log_sigma[:, None] + log_q, xcutoff[:, None])
+    smoothed = jnp.where(sign_sigma[:, None] > 0, smoothed, jnp.nan)
+    smoothed = jnp.minimum(smoothed, 0.0)  # truncate weights at exp(0)
+
+    smooth_ok = (n_tail > 4) & jnp.isfinite(k)
+    s_vals = jnp.where(smooth_ok[:, None], smoothed, tail_vals)
+
+    # row reductions: total exp mass, tail raw mass, tail smoothed mass
+    sum_exp_all = jnp.sum(jnp.exp(x), axis=1)
+    sum_exp_tail_raw = jnp.sum(
+        jnp.where(slot_valid, jnp.exp(tail_vals), 0.0), axis=1
+    )
+    sum_nontail = jnp.maximum(sum_exp_all - sum_exp_tail_raw, 0.0)
+    sum_exp_tail_s = jnp.sum(
+        jnp.where(slot_valid, jnp.exp(s_vals), 0.0), axis=1
+    )
+    denom = jnp.log(sum_nontail + sum_exp_tail_s)
+
+    elpd_terms = jnp.where(slot_valid, jnp.exp(s_vals - tail_vals), 0.0)
+    elpd_i = (
+        -C[:, 0]
+        + jnp.log((S - nf) + jnp.sum(elpd_terms, axis=1))
+        - denom
+    )
+
+    lppd_i = logsumexp(log_lik, axis=1, b_inv=S)
+    khat = jnp.where(n_tail <= 4, jnp.inf, k)
+    return elpd_i, khat, lppd_i
 
 
 @jax.jit

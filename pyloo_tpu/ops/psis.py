@@ -101,7 +101,7 @@ def _log1p_negby(sign_b, log_by):
     return jnp.where(sign_b < 0, _softplus(log_by), _log1mexp(log_by))
 
 
-def _gpdfit_batch(log_ary, n):
+def _gpdfit_batch(log_ary, n, log_quart=None, log_last=None):
     """Zhang-Stephens empirical-Bayes GPD fit, vectorized over rows.
 
     TPU-hardened formulation: exceedances enter as *logarithms* and every
@@ -116,10 +116,15 @@ def _gpdfit_batch(log_ary, n):
     Parameters
     ----------
     log_ary : (B, M) array
-        Log of ascending exceedances per row, left-aligned; slots
-        ``j >= n[b]`` hold ``-inf`` (i.e. exceedance 0).
+        Log of the exceedances per row in ANY order (the profile likelihood
+        only takes masked means); invalid slots hold ``-inf`` (exceedance 0).
     n : (B,) int array
         Number of valid exceedances per row.
+    log_quart, log_last : (B,) arrays, optional
+        Log of the first-quartile and maximum exceedance order statistics.
+        When omitted, ``log_ary`` must be ascending left-aligned and they are
+        gathered from it (gathers are slow on TPU — callers on the hot path
+        should pass them).
 
     Returns
     -------
@@ -139,11 +144,13 @@ def _gpdfit_batch(log_ary, n):
     grid_valid = grid[None, :] <= m_est[:, None]  # (B, m_max)
 
     # order statistics entering the b-grid: first quartile and the maximum
-    q_idx = jnp.clip((n + 2) // 4 - 1, 0, M - 1)
-    log_quart = jnp.take_along_axis(log_ary, q_idx[:, None], axis=1)[:, 0]
-    log_last = jnp.take_along_axis(
-        log_ary, jnp.clip(n - 1, 0, M - 1)[:, None], axis=1
-    )[:, 0]
+    if log_quart is None:
+        q_idx = jnp.clip((n + 2) // 4 - 1, 0, M - 1)
+        log_quart = jnp.take_along_axis(log_ary, q_idx[:, None], axis=1)[:, 0]
+    if log_last is None:
+        log_last = jnp.take_along_axis(
+            log_ary, jnp.clip(n - 1, 0, M - 1)[:, None], axis=1
+        )[:, 0]
 
     # b_i = 1/y_max + c_i / (3 * y_quart) with c_i = 1 - sqrt(m_est/(i-0.5));
     # c_i < 0 always (i <= m_est), so the second term is negative.

@@ -175,3 +175,40 @@ class TestShardedExecution:
         chunked = apply_rowwise(kern, lw, mesh=None, chunk_bytes=200 * 8 * 7)
         assert_allclose(np.asarray(whole[0]), np.asarray(chunked[0]), atol=1e-12)
         assert_allclose(np.asarray(whole[1]), np.asarray(chunked[1]), atol=1e-12)
+
+
+class TestFastPath:
+    def test_fast_kernel_matches_exact_f64(self, rng):
+        import jax.numpy as jnp
+
+        from pyloo_tpu.ops.loo_kernels import (
+            loo_scores_psis,
+            loo_scores_psis_fast,
+        )
+
+        ll = rng.normal(-1, 0.8, size=(48, 1200))
+        m = tail_length(1200, 1.0)
+        e, k, l = loo_scores_psis(jnp.asarray(ll), m)
+        ef, kf, lf = loo_scores_psis_fast(jnp.asarray(ll), m)
+        assert_allclose(np.asarray(e), np.asarray(ef), rtol=1e-12)
+        assert_allclose(np.asarray(k), np.asarray(kf), rtol=1e-12)
+        assert_allclose(np.asarray(l), np.asarray(lf), rtol=1e-12)
+
+    def test_loo_float32_fast_path(self, rng):
+        import pyloo_tpu as pl
+
+        ll = rng.normal(-1, 0.5, size=(2, 300, 40))
+        idata = pl.from_dict(
+            posterior={"mu": rng.normal(size=(2, 300))},
+            log_likelihood={"obs": ll},
+        )
+        r64 = pl.loo(idata, pointwise=True, reff=1.0)
+        pl.rcParams["device.precision"] = "float32"
+        try:
+            r32 = pl.loo(idata, pointwise=True, reff=1.0)
+        finally:
+            pl.rcParams["device.precision"] = "float64"
+        assert_allclose(r32["elpd_loo"], r64["elpd_loo"], rtol=1e-4)
+        assert_allclose(
+            r32.pareto_k.values, r64.pareto_k.values, atol=2e-3
+        )

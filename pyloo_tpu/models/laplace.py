@@ -126,7 +126,14 @@ class Laplace:
             ),
             "observed_data": Dataset(
                 {
-                    k: DataArray(np.asarray(v), (f"{k}_dim_0",), name=k)
+                    k: DataArray(
+                        np.asarray(v),
+                        tuple(
+                            f"{k}_dim_{i}"
+                            for i in range(np.asarray(v).ndim)
+                        ),
+                        name=k,
+                    )
                     for k, v in model.data.items()
                     if k in model.obs_keys
                 }

@@ -166,7 +166,13 @@ def fit(
         ),
         "observed_data": Dataset(
             {
-                k: DataArray(np.asarray(v), (f"{k}_dim_0",), name=k)
+                k: DataArray(
+                    np.asarray(v),
+                    tuple(
+                        f"{k}_dim_{i}" for i in range(np.asarray(v).ndim)
+                    ),
+                    name=k,
+                )
                 for k, v in data.items()
                 if k in model.obs_keys
             }

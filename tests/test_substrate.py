@@ -1,0 +1,205 @@
+"""Direct tests for the substrate: containers, utils, rcparams, ess, profiling."""
+
+import numpy as np
+import pytest
+from numpy.testing import assert_allclose
+
+import pyloo_tpu as pl
+from pyloo_tpu.containers import DataArray, Dataset, InferenceData
+from pyloo_tpu.ops.ess import ess_mean, relative_eff
+from pyloo_tpu.utils import _logsumexp, make_ufunc, wrap_xarray_ufunc
+
+
+class TestDataArray:
+    def test_stack_ordering_matches_xarray_semantics(self, rng):
+        # (chain, draw, obs) -> (obs, __sample__) with sample index
+        # ordered chain-major (chain*n_draw + draw)
+        values = rng.normal(size=(2, 3, 4))
+        da = DataArray(values, ("chain", "draw", "obs"))
+        stacked = da.stack(__sample__=("chain", "draw"))
+        assert stacked.dims == ("obs", "__sample__")
+        expected = values.transpose(2, 0, 1).reshape(4, 6)
+        assert_allclose(stacked.values, expected)
+        # stacked coordinate carries (chain, draw) tuples
+        assert stacked.coords["__sample__"][0] == (0, 0)
+        assert stacked.coords["__sample__"][3] == (1, 0)
+
+    def test_isel_int_and_array(self, rng):
+        da = DataArray(
+            rng.normal(size=(3, 5)), ("a", "b"), {"b": np.arange(10, 15)}
+        )
+        sub = da.isel(a=1)
+        assert sub.dims == ("b",)
+        sub2 = da.isel(b=np.array([0, 2]))
+        assert sub2.shape == (3, 2)
+        assert list(sub2.coords["b"]) == [10, 12]
+        with pytest.raises(KeyError):
+            da.isel(c=0)
+
+    def test_sel_by_label(self):
+        da = DataArray(
+            np.arange(6).reshape(2, 3), ("x", "y"),
+            {"y": np.array(["a", "b", "c"])},
+        )
+        assert da.sel(y="b").values.tolist() == [1, 4]
+        with pytest.raises(KeyError):
+            da.sel(y="z")
+
+    def test_arithmetic_alignment(self, rng):
+        a = DataArray(rng.normal(size=(2, 3)), ("x", "y"))
+        b = DataArray(rng.normal(size=(3, 2)), ("y", "x"))
+        out = a + b  # dims aligned by name, transposed automatically
+        assert_allclose(out.values, a.values + b.values.T)
+        reduced = a.mean("y")
+        out2 = a - reduced  # broadcast reduced array back
+        assert_allclose(out2.values, a.values - a.values.mean(1, keepdims=True))
+
+    def test_reductions_and_where(self, rng):
+        da = DataArray(rng.normal(size=(4, 5)), ("r", "c"))
+        assert da.mean(("r", "c")) == pytest.approx(da.values.mean())
+        assert da.sum("r").dims == ("c",)
+        masked = da.where(da > 0, 0.0)
+        assert (masked.values >= 0).all()
+
+    def test_coord_getitem(self):
+        da = DataArray(np.zeros((2, 3)), ("x", "y"), {"y": np.arange(3)})
+        coord = da["y"]
+        assert coord.dims == ("y",)
+        assert list(coord.values) == [0, 1, 2]
+
+
+class TestDatasetAndInferenceData:
+    def test_dataset_access(self, rng):
+        ds = Dataset({"a": DataArray(rng.normal(size=(2, 3)), ("chain", "draw"))})
+        assert "a" in ds
+        assert ds.a.dims == ("chain", "draw")
+        assert list(ds.data_vars) == ["a"]
+        ds["b"] = DataArray(np.zeros((2, 3)), ("chain", "draw"))
+        assert len(ds) == 2
+        sub = ds.isel(chain=0)
+        assert sub["a"].dims == ("draw",)
+
+    def test_inference_data_groups(self, rng):
+        idata = pl.from_dict(
+            posterior={"mu": rng.normal(size=(2, 10))},
+            log_likelihood={"obs": rng.normal(size=(2, 10, 3))},
+        )
+        assert set(idata.groups()) == {"posterior", "log_likelihood"}
+        assert hasattr(idata, "posterior")
+        assert not hasattr(idata, "prior")
+        copied = idata.copy()
+        copied.posterior.mu.values[:] = 0
+        assert not np.allclose(idata.posterior.mu.values, 0)
+
+    def test_to_inference_data_paths(self, rng):
+        idata = pl.to_inference_data({"mu": rng.normal(size=(2, 5))})
+        assert "posterior" in idata.groups()
+        arr = pl.to_inference_data(rng.normal(size=(2, 5)))
+        assert "posterior" in arr.groups()
+        with pytest.raises(ValueError, match="Lists and tuples"):
+            pl.to_inference_data([1, 2, 3])
+        with pytest.raises(ValueError, match="array-like"):
+            pl.to_inference_data({"bad": "string"})
+        same = pl.to_inference_data(idata)
+        assert same is idata
+
+
+class TestLogsumexp:
+    def test_matches_scipy(self, rng):
+        from scipy.special import logsumexp as sp_lse
+
+        x = rng.normal(size=(4, 7))
+        assert_allclose(_logsumexp(x), sp_lse(x))
+        assert_allclose(_logsumexp(x, axis=1), sp_lse(x, axis=1))
+        assert_allclose(
+            _logsumexp(x, axis=0, keepdims=True), sp_lse(x, axis=0, keepdims=True)
+        )
+        assert_allclose(_logsumexp(x, b=0.5), sp_lse(x, b=0.5))
+        assert_allclose(_logsumexp(x, b_inv=4), sp_lse(x) - np.log(4))
+
+    def test_edge_cases(self):
+        assert _logsumexp(np.array([1, 2, 3]), b_inv=0) == np.inf
+        assert _logsumexp(np.array([1.0, 2.0]), b=0) == -np.inf
+        out = _logsumexp(np.array([1, 2, 3]))  # int input promoted
+        assert isinstance(out, np.float64)
+
+
+class TestUfuncShims:
+    def test_make_ufunc_loops_observations(self, rng):
+        x = rng.normal(size=(5, 20))
+        f = make_ufunc(lambda row: row.sum(), n_dims=1)
+        assert_allclose(f(x), x.sum(axis=1))
+        f2 = make_ufunc(lambda row: (row.min(), row.max()), n_output=2, n_dims=1)
+        lo, hi = f2(x)
+        assert_allclose(lo, x.min(axis=1))
+        assert_allclose(hi, x.max(axis=1))
+
+    def test_wrap_xarray_ufunc(self, rng):
+        da = DataArray(rng.normal(size=(4, 30)), ("obs", "__sample__"))
+        out = wrap_xarray_ufunc(
+            lambda row: row.mean(),
+            da,
+            input_core_dims=[["__sample__"]],
+        )
+        assert out.dims == ("obs",)
+        assert_allclose(out.values, da.values.mean(axis=1))
+
+
+class TestEss:
+    def test_iid_ess_near_n(self, rng):
+        draws = rng.normal(size=(4, 500))
+        e = ess_mean(draws)
+        assert 1000 < e < 3000  # 2000 total, iid
+
+    def test_autocorrelated_ess_lower(self, rng):
+        n = 2000
+        x = np.empty((2, n))
+        for c in range(2):
+            noise = rng.normal(size=n)
+            x[c, 0] = noise[0]
+            for t in range(1, n):
+                x[c, t] = 0.95 * x[c, t - 1] + noise[t]
+        e = ess_mean(x)
+        assert e < 0.2 * 2 * n
+
+    def test_relative_eff(self, rng):
+        post = {"mu": rng.normal(size=(4, 250)), "theta": rng.normal(size=(4, 250, 3))}
+        r = relative_eff(post, 1000)
+        assert 0.3 < r < 2.0
+
+
+class TestRcParams:
+    def test_validation_and_immutability(self):
+        with pytest.raises(KeyError):
+            pl.rcParams["nonexistent.key"] = 1
+        with pytest.raises(ValueError):
+            pl.rcParams["stats.ic_scale"] = "bogus"
+        with pytest.raises(TypeError):
+            del pl.rcParams["stats.ic_scale"]
+        with pytest.raises(TypeError):
+            pl.rcParams.pop("stats.ic_scale")
+        copy = pl.rcParams.copy()
+        assert isinstance(copy, dict)
+        assert "stats.ic_pointwise" in copy
+
+
+class TestProfiling:
+    def test_throughput_meter(self):
+        import time
+
+        from pyloo_tpu.profiling import Throughput
+
+        meter = Throughput()
+        with meter.measure(100):
+            time.sleep(0.01)
+        with meter.measure(50):
+            time.sleep(0.01)
+        assert meter.total_items == 150
+        assert meter.items_per_sec > 0
+        assert "150 obs" in meter.summary()
+
+    def test_annotate_usable(self):
+        from pyloo_tpu.profiling import annotate
+
+        with annotate("test-region"):
+            pass

@@ -53,7 +53,7 @@ from .loo_kfold import (
     loo_kfold,
 )
 from .reloo import reloo
-from .models import JAXModelWrapper, Model
+from .models import ADVI, JAXModelWrapper, Laplace, Model
 from .loo_nonfactor import loo_nonfactor
 from .plots import (
     influence_plot,
@@ -95,6 +95,8 @@ __all__ = [
     "reloo",
     "JAXModelWrapper",
     "Model",
+    "Laplace",
+    "ADVI",
     "loo_moment_match",
     "loo_moment_match_split",
     "ParameterConverter",

@@ -77,7 +77,16 @@ class PLPDApproximation:
             UserWarning,
             stacklevel=2,
         )
-        da = log_likelihood
-        if "__sample__" in da.dims:
-            return da.mean("__sample__").values
-        return da.mean(("chain", "draw")).values
+        # fallback: mean over draws, computed on device in sharded chunks
+        # (a host numpy mean over an (N, S) float64 array dominates the
+        # 1M-observation workflow otherwise)
+        import jax.numpy as jnp
+
+        from ..base import as_sample_matrix
+        from ..parallel import apply_rowwise
+
+        matrix, _, _ = as_sample_matrix(log_likelihood)
+        (out,) = apply_rowwise(
+            lambda b: (jnp.mean(b, axis=1),), matrix, n_outputs=1
+        )
+        return np.asarray(out)

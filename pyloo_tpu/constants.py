@@ -1,18 +1,25 @@
-"""Enumerations shared across the LOO-CV estimators.
+"""Method namespaces shared across the LOO-CV estimators.
 
-Mirrors the reference method namespaces (reference ``pyloo/constants.py:7-50``).
+These enumerations define the public string names accepted by
+``loo_subsample`` and friends (reference surface: ``pyloo/constants.py``).
 """
 
 from enum import Enum
 from typing import Literal
 
+# output scales accepted everywhere a ``scale`` argument appears
+SCALE_OPTIONS = Literal["deviance", "log", "negative_log"]
+
 
 class LooApproximationMethod(str, Enum):
-    """Cheap elpd approximations used to drive subsampling.
+    """Cheap per-observation elpd approximations driving subsampled LOO.
 
-    PLPD uses the log predictive density at a posterior point estimate,
-    LPD the full log predictive density, TIS/SIS the cheaper importance
-    sampling variants.
+    ``plpd``
+        log likelihood at a posterior point estimate (default; one pass).
+    ``lpd``
+        full log predictive density (logmeanexp over draws).
+    ``tis`` / ``sis``
+        truncated / standard importance-sampling LOO with cheaper weights.
     """
 
     PLPD = "plpd"
@@ -21,12 +28,21 @@ class LooApproximationMethod(str, Enum):
     SIS = "sis"
 
 
-class EstimatorMethod(str, Enum):
-    """Population-elpd estimators for subsampled LOO.
+LooApproximationMethodType = Literal["plpd", "lpd", "tis", "sis"]
 
-    DIFF_SRS: difference estimator under simple random sampling (default).
-    HH_PPS: Hansen-Hurwitz estimator, probability proportional to size.
-    SRS: plain simple random sampling estimator.
+
+class EstimatorMethod(str, Enum):
+    """Survey estimators of the population elpd from a subsample.
+
+    ``diff_srs``
+        difference estimator under simple random sampling without
+        replacement (default — exploits the approximation as an auxiliary
+        variable).
+    ``hh_pps``
+        weighted Hansen-Hurwitz estimator, probability proportional to the
+        magnitude of the approximation, with replacement.
+    ``srs``
+        plain simple-random-sampling expansion estimator.
     """
 
     DIFF_SRS = "diff_srs"
@@ -34,6 +50,4 @@ class EstimatorMethod(str, Enum):
     SRS = "srs"
 
 
-LooApproximationMethodType = Literal["plpd", "lpd", "tis", "sis"]
 EstimatorMethodType = Literal["diff_srs", "hh_pps", "srs"]
-SCALE_OPTIONS = Literal["deviance", "log", "negative_log"]

@@ -18,7 +18,7 @@ array selection, dimension-wise reductions, dims-aligned arithmetic).
 
 from __future__ import annotations
 
-from typing import Any, Iterable, Mapping, Sequence
+from typing import Any, Mapping
 
 import numpy as np
 

@@ -9,7 +9,7 @@ functional-model path here is one ``jit(vmap(logp))`` call over the whole
 
 from __future__ import annotations
 
-from typing import Any, TypedDict
+from typing import TypedDict
 
 import jax
 import jax.numpy as jnp

@@ -10,7 +10,7 @@ per-observation numerical work runs as one fused, sharded device kernel
 from __future__ import annotations
 
 import warnings
-from typing import Any, Literal
+from typing import Literal
 
 import numpy as np
 

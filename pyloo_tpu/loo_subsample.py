@@ -15,7 +15,7 @@ from typing import Any
 import numpy as np
 
 from ._common import clean_log_likelihood, compute_reff, good_k_threshold, resolve_scale
-from .base import ISMethod, as_sample_matrix
+from .base import as_sample_matrix
 from .constants import EstimatorMethod, LooApproximationMethod
 from .containers import DataArray
 from .elpd import ELPDData

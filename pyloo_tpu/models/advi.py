@@ -10,7 +10,6 @@ trick, fully jitted, with vmapped Monte-Carlo gradients.
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from functools import partial
 from typing import Literal
 
 import jax

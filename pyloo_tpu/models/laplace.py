@@ -13,8 +13,6 @@ from __future__ import annotations
 import logging
 import warnings
 from dataclasses import dataclass, field
-from typing import Any
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -9,7 +9,7 @@ these functions with ``jax.grad``/``vmap``/``jit``.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field, replace
+from dataclasses import dataclass, replace
 from typing import Callable
 
 import jax

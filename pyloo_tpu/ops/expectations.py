@@ -6,7 +6,6 @@ observations.
 
 from __future__ import annotations
 
-import math
 from functools import partial
 
 import jax

@@ -69,6 +69,8 @@ def main():
     import warnings
 
     warnings.simplefilter("ignore")
+    # float32 throughput path for the million-observation sweep
+    pl.rcParams["device.precision"] = "float32"
     t0 = time.perf_counter()
     idata = build_idata()
     build_s = time.perf_counter() - t0

@@ -191,3 +191,28 @@ class TestReloo:
         after = wrapper.observed_data
         for k in before:
             assert_allclose(before[k], after[k])
+
+
+class TestKfoldInCompare:
+    def test_compare_with_kfold_ic(self, wrapper):
+        # second model: same data, worse (fixed overlarge scale prior center)
+        rng = np.random.default_rng(0)
+        y = wrapper.get_observed_data()
+        model2 = location_scale_model(y + rng.normal(0, 0.001, size=len(y)))
+        from pyloo_tpu.models.wrapper import fit
+
+        idata2 = fit(model2, seed=9, **FAST)
+        wrapper2 = pl.JAXModelWrapper(
+            model2, idata2, sample_kwargs=dict(seed=13, **FAST)
+        )
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            df = pl.loo_compare(
+                {"m1": wrapper, "m2": wrapper2},
+                ic="kfold",
+                K=2,
+                random_seed=0,
+            )
+        assert "elpd_kfold" in df.columns
+        assert set(df.index) == {"m1", "m2"}
+        assert np.isfinite(df["elpd_kfold"]).all()

@@ -15,6 +15,11 @@ import sys
 import time
 
 import jax
+
+# NOTE: do not enable the persistent compilation cache here — loading a
+# cached executable hangs under the axon remote-compile plugin (verified:
+# cache-write runs succeed, cache-read runs block indefinitely).
+
 import jax.numpy as jnp
 
 sys.path.insert(0, ".")

@@ -57,14 +57,28 @@ def weighted_quantile_batch(x, log_weights, probs):
 
     For each probability p: invert the cumulative weight function at p with
     linear interpolation between adjacent order statistics (reference
-    ``_weighted_quantile``, e_loo.py:534-554).  Returns (B, n_probs).
+    ``_weighted_quantile``, e_loo.py:534-554).  Rows with (near-)constant
+    weights use plain linear-interpolation quantiles, matching the
+    reference's ``np.quantile`` fallback.  Returns (B, n_probs).
     """
+    S = x.shape[1]
     w = jnp.exp(_normalize(log_weights))
     order = jnp.argsort(x, axis=1)
     xs = jnp.take_along_axis(x, order, axis=1)
     ws = jnp.take_along_axis(w, order, axis=1)
     cw = jnp.cumsum(ws, axis=1)
     cw = cw / cw[:, -1:]
+    uniform_row = jnp.all(jnp.isclose(w, w[:, :1]), axis=1)
+
+    def plain_quantile(p):
+        # numpy's default linear interpolation at position (S-1)*p
+        pos = (S - 1) * p
+        lo = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, S - 1)
+        hi = jnp.clip(lo + 1, 0, S - 1)
+        frac = pos - lo
+        x_lo = xs[:, lo]
+        x_hi = xs[:, hi]
+        return x_lo + frac * (x_hi - x_lo)
 
     def one_prob(p):
         # first index with cumweight >= p
@@ -83,7 +97,10 @@ def weighted_quantile_batch(x, log_weights, probs):
         interp = x_lo + (x_hi - x_lo) * (p - w_lo) / jnp.where(
             w_hi == w_lo, 1.0, w_hi - w_lo
         )
-        return jnp.where(wi == 0, xs[:, 0], jnp.where(any_ge, interp, xs[:, -1]))
+        weighted = jnp.where(
+            wi == 0, xs[:, 0], jnp.where(any_ge, interp, xs[:, -1])
+        )
+        return jnp.where(uniform_row, plain_quantile(p), weighted)
 
     return jax.vmap(one_prob, out_axes=1)(jnp.asarray(probs))
 

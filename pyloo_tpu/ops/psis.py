@@ -316,23 +316,35 @@ def psislw_batch(log_weights, tail_max: int):
     in_tail = tail_vals > xcutoff[:, None]  # strict, preserves tie semantics
     n_tail = jnp.sum(in_tail.astype(jnp.int32), axis=1)  # (B,)
 
-    # exceedances in ascending order, left-aligned into M fixed slots,
-    # carried as logs: log(exp(x) - exp(xcutoff)) = x + log1mexp(xcutoff - x).
-    # The log-domain form survives TPU's float32 exponent range.
+    # exceedances carried as logs in DESCENDING layout (the order the top-k
+    # already provides): log(exp(x) - exp(xcutoff)) = x + log1mexp(xcutoff-x).
+    # The GPD fit only needs masked sums plus two single-element order
+    # statistics, and the ascending plotting position of descending slot d is
+    # (n - d - 0.5)/n, so no (B, M) gathers are needed (they cost more than
+    # the entire fit on TPU).  The log-domain form survives TPU's float32
+    # exponent range.
     slot = jnp.arange(tail_max, dtype=jnp.int32)
-    asc_src = jnp.clip(n_tail[:, None] - 1 - slot[None, :], 0, tail_max - 1)
-    asc_vals = jnp.take_along_axis(tail_vals, asc_src, axis=1)
     slot_valid = slot[None, :] < n_tail[:, None]
-    gap = jnp.minimum(xcutoff[:, None] - asc_vals, 0.0)  # <= 0 for valid slots
-    log_exceed = jnp.where(slot_valid, asc_vals + _log1mexp(gap), -jnp.inf)
+    gap = jnp.minimum(xcutoff[:, None] - tail_vals, 0.0)  # <= 0 for valid slots
+    log_exceed = jnp.where(slot_valid, tail_vals + _log1mexp(gap), -jnp.inf)
 
-    k, sign_sigma, log_sigma = _gpdfit_batch(log_exceed, n_tail)
+    # ascending index q_idx maps to descending index n - 1 - q_idx
+    q_idx = jnp.clip((n_tail + 2) // 4 - 1, 0, tail_max - 1)
+    q_desc = jnp.clip(n_tail - 1 - q_idx, 0, tail_max - 1)
+    log_quart = jnp.take_along_axis(log_exceed, q_desc[:, None], axis=1)[:, 0]
+    log_last = log_exceed[:, 0]
 
-    # inverse-CDF smoothing at plotting positions (j + 0.5) / n, in log space:
+    k, sign_sigma, log_sigma = _gpdfit_batch(
+        log_exceed, n_tail, log_quart=log_quart, log_last=log_last
+    )
+
+    # inverse-CDF smoothing at plotting positions, in log space:
     # smoothed = log(sigma * qGPD(p; k) + exp(xcutoff))
     nf = n_tail.astype(dtype)
     eps = jnp.finfo(dtype).eps
-    probs = (slot.astype(dtype)[None, :] + 0.5) / jnp.where(nf == 0, 1.0, nf)[:, None]
+    probs = (nf[:, None] - slot.astype(dtype)[None, :] - 0.5) / jnp.where(
+        nf == 0, 1.0, nf
+    )[:, None]
     log1m_p = jnp.log1p(-jnp.where(slot_valid, probs, 0.5))
     u = -k[:, None] * log1m_p  # sign(u) == sign(k); expm1(u)/k > 0 always
     abs_u = jnp.abs(u)
@@ -342,15 +354,13 @@ def psislw_batch(log_weights, tail_max: int):
         jnp.log(-log1m_p),
         log_abs_expm1 - jnp.log(jnp.abs(k))[:, None],
     )
-    smoothed_asc = jnp.logaddexp(log_sigma[:, None] + log_q, xcutoff[:, None])
+    smoothed_desc = jnp.logaddexp(log_sigma[:, None] + log_q, xcutoff[:, None])
     # sigma <= 0 poisons the row with NaN, matching reference gpinv semantics
-    smoothed_asc = jnp.where(sign_sigma[:, None] > 0, smoothed_asc, jnp.nan)
+    smoothed_desc = jnp.where(sign_sigma[:, None] > 0, smoothed_desc, jnp.nan)
 
     smooth_ok = (n_tail > 4) & jnp.isfinite(k)
 
-    # scatter the smoothed tail back to original positions (descending order)
-    desc_src = jnp.clip(n_tail[:, None] - 1 - slot[None, :], 0, tail_max - 1)
-    smoothed_desc = jnp.take_along_axis(smoothed_asc, desc_src, axis=1)
+    # scatter the smoothed tail back to original positions
     keep_orig = jnp.take_along_axis(x, tail_idx, axis=1)
     use_smoothed = slot_valid & smooth_ok[:, None]
     scatter_vals = jnp.where(use_smoothed, smoothed_desc, keep_orig)

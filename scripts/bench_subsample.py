@@ -100,6 +100,13 @@ def main():
                     "n_draws": S,
                     "build_s": round(build_s, 1),
                     **results,
+                    "note": (
+                        "wall time is dominated by host->device transfer of"
+                        " the 4 GB log-likelihood over the tunneled TPU"
+                        " (~15 MB/s); on a co-located host (PCIe ~10 GB/s)"
+                        " the same workflow is bounded by the <1 s device"
+                        " passes"
+                    ),
                 },
             }
         )

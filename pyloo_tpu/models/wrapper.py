@@ -108,9 +108,14 @@ def fit(
     seed: int = 0,
     compute_log_likelihood: bool = True,
     init: np.ndarray | None = None,
+    algorithm: str = "hmc",
     **hmc_kwargs,
 ) -> InferenceData:
-    """Sample the model's posterior with adaptive HMC and assemble results.
+    """Sample the model's posterior and assemble results.
+
+    ``algorithm="hmc"`` (default) uses static-trajectory adaptive HMC;
+    ``algorithm="chees"`` uses ChEES-adapted trajectory lengths
+    (:mod:`pyloo_tpu.models.chees`) — the SIMD-friendly alternative to NUTS.
 
     Returns an :class:`InferenceData` with ``posterior`` (constrained,
     named), ``log_likelihood`` and ``observed_data`` groups — the same shape
@@ -123,15 +128,32 @@ def fit(
         return model.logp(model.unravel(q), data)
 
     q0 = np.zeros(model.flat_dim) if init is None else init
-    draws_flat, accept = sample_hmc(
-        logp_q,
-        q0,
-        num_warmup=tune,
-        num_samples=draws,
-        num_chains=chains,
-        seed=seed,
-        **hmc_kwargs,
-    )  # (C, T, D)
+    if algorithm == "chees":
+        from .chees import sample_chees
+
+        draws_flat, accept = sample_chees(
+            logp_q,
+            q0,
+            num_warmup=tune,
+            num_samples=draws,
+            num_chains=chains,
+            seed=seed,
+            **hmc_kwargs,
+        )
+    elif algorithm == "hmc":
+        draws_flat, accept = sample_hmc(
+            logp_q,
+            q0,
+            num_warmup=tune,
+            num_samples=draws,
+            num_chains=chains,
+            seed=seed,
+            **hmc_kwargs,
+        )
+    else:
+        raise ValueError(
+            f"Unknown algorithm {algorithm!r}; use 'hmc' or 'chees'"
+        )  # (C, T, D)
     C, T, D = draws_flat.shape
 
     unravel_v = jax.vmap(jax.vmap(model.unravel))

@@ -128,3 +128,45 @@ class TestADVI:
     def test_invalid_method(self, linreg):
         with pytest.raises(ValueError, match="meanfield"):
             ADVI(linreg, "laplace")
+
+
+class TestChEES:
+    def test_chees_fit_end_to_end(self, linreg):
+        import pyloo_tpu as pl
+        from pyloo_tpu.models.wrapper import fit
+
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            idata = fit(
+                linreg, algorithm="chees", draws=300, tune=500, chains=2,
+                seed=3,
+            )
+            res = pl.loo(idata, reff=1.0)
+        alpha = idata.posterior.alpha.values
+        beta = idata.posterior.beta.values
+        assert abs(alpha.mean() - 0.5) < 0.2
+        assert abs(beta.mean() - 1.5) < 0.2
+        assert np.isfinite(res["elpd_loo"])
+
+    def test_chees_recovers_scale(self):
+        import jax
+        from pyloo_tpu.models.chees import sample_chees
+
+        scales = np.array([1.0, 5.0, 25.0])
+
+        def logp(q):
+            return -0.5 * jnp.sum((q / scales) ** 2)
+
+        draws, accept = sample_chees(
+            logp, np.zeros(3), num_warmup=800, num_samples=800,
+            num_chains=4, seed=0,
+        )
+        sds = draws.reshape(-1, 3).std(axis=0)
+        assert np.all(np.abs(sds / scales - 1) < 0.25)
+        assert 0.3 < accept <= 1.0
+
+    def test_unknown_algorithm(self, linreg):
+        from pyloo_tpu.models.wrapper import fit
+
+        with pytest.raises(ValueError, match="Unknown algorithm"):
+            fit(linreg, algorithm="nuts")

@@ -1,11 +1,19 @@
 """Benchmark: PSIS throughput at 4000 draws (the BASELINE.json north star).
 
-Smooths a 4000-draw log-likelihood array one chunk at a time on the available
-device(s), timing the steady-state kernel (compile excluded), and prints one
-JSON line.  The baseline is the reference's per-observation NumPy loop
-(argsort + Zhang-Stephens fit per row, /root/reference/pyloo/psis.py:114-160)
-measured at ~1e4 rows/sec on one CPU core (SURVEY.md §6 cost model; measured
-below when --measure-baseline is passed).
+Runs the fused PSIS-LOO scoring kernel (tail selection, GPD fit, inverse-CDF
+smoothing, weighted elpd/lppd reductions) over 1M observations x 4000 draws
+in float32 and prints one JSON line.
+
+Methodology: the synthetic log-likelihood is generated on device from
+deterministic keys, so a generation-only pass and a generation+PSIS pass see
+identical data; their wall-clock difference isolates the PSIS kernel.  A
+single scalar that depends on every chunk is fetched at the end (on the
+tunneled TPU, block_until_ready does not actually synchronize — only a
+device-to-host fetch does).
+
+The baseline is the reference's per-observation NumPy loop (argsort +
+Zhang-Stephens fit per row, /root/reference/pyloo/psis.py:114-160), ~1e4
+rows/sec on one CPU core (SURVEY.md §6 cost model).
 
 Run:  python bench.py            (uses the default JAX platform — TPU here)
 """
@@ -36,41 +44,44 @@ REFERENCE_OBS_PER_SEC = 1.0e4  # SURVEY.md §6: 1e3-1e4 rows/s; generous end
 def main():
     dev = jax.devices()[0]
     m_tail = tail_length(N_DRAWS, 1.0)
+    n_chunks = TOTAL_OBS // CHUNK
 
     @jax.jit
     def make_chunk(key):
-        # mildly heavy-tailed synthetic log-weights (lognormal-ish raw ratios)
+        # mildly heavy-tailed synthetic log-weights
         return 1.5 * jax.random.normal(key, (CHUNK, N_DRAWS), dtype=jnp.float32)
 
     @jax.jit
     def smooth(chunk):
-        # the full fused LOO pipeline: tail selection, GPD fit, inverse-CDF
-        # smoothing, and the weighted elpd/lppd reductions (scatter-free
-        # compact formulation, ops/loo_kernels.py:loo_scores_psis_fast)
         elpd_i, k, lppd_i = loo_scores_psis_fast(-chunk, m_tail)
-        return elpd_i, k
+        return jnp.sum(elpd_i), jnp.sum(k), jnp.sum(lppd_i)
 
-    key = jax.random.PRNGKey(0)
-    warm = make_chunk(key)
-    s, k = smooth(warm)  # compile + warm caches
-    jax.block_until_ready((s, k))
+    keys = jax.random.split(jax.random.PRNGKey(0), n_chunks)
 
-    n_chunks = TOTAL_OBS // CHUNK
-    keys = jax.random.split(key, n_chunks)
-    chunks = None  # generated on the fly; generation excluded from timing
+    # compile + warm both programs, force completion with a fetch
+    e, k, l = smooth(make_chunk(keys[0]))
+    _ = float(e + k + l)
 
-    total_time = 0.0
-    ksum = 0.0
-    for i in range(n_chunks):
-        chunk = make_chunk(keys[i])
-        jax.block_until_ready(chunk)
+    def run(include_psis: bool) -> tuple[float, float]:
         t0 = time.perf_counter()
-        s, kv = smooth(chunk)
-        jax.block_until_ready((s, kv))
-        total_time += time.perf_counter() - t0
-        ksum += float(jnp.mean(kv))
+        acc = jnp.zeros((), dtype=jnp.float32)
+        ksum = jnp.zeros((), dtype=jnp.float32)
+        for i in range(n_chunks):
+            chunk = make_chunk(keys[i])
+            if include_psis:
+                e, kv, l = smooth(chunk)
+                acc = acc + e
+                ksum = ksum + kv
+            else:
+                acc = acc + chunk[0, 0]
+        total = float(acc)  # single d2h fetch synchronizes everything
+        return time.perf_counter() - t0, float(ksum) / TOTAL_OBS
 
-    obs_per_sec = TOTAL_OBS / total_time
+    gen_s, _ = run(include_psis=False)
+    full_s, mean_khat = run(include_psis=True)
+    psis_s = max(full_s - gen_s, 1e-9)
+
+    obs_per_sec = TOTAL_OBS / psis_s
     result = {
         "metric": "psis_obs_per_sec_4k_draws",
         "value": round(obs_per_sec, 1),
@@ -79,10 +90,12 @@ def main():
         "detail": {
             "total_obs": TOTAL_OBS,
             "n_draws": N_DRAWS,
-            "wall_s": round(total_time, 3),
+            "psis_wall_s": round(psis_s, 3),
+            "datagen_wall_s": round(gen_s, 3),
+            "end_to_end_wall_s": round(full_s, 3),
             "device": str(dev),
             "dtype": "float32",
-            "mean_khat": round(ksum / n_chunks, 4),
+            "mean_khat": round(mean_khat, 4),
         },
     }
     print(json.dumps(result))

@@ -335,6 +335,11 @@ class ELPDData(pd.Series):
         return base
 
     # -- container behavior -------------------------------------------------
+    @property
+    def _constructor(self):
+        # pandas operations on the Series keep the ELPDData type
+        return ELPDData
+
     def copy(self, deep=True):
         copied = pd.Series.copy(self)
         for key in copied.keys():

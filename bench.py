@@ -4,12 +4,14 @@ Runs the fused PSIS-LOO scoring kernel (tail selection, GPD fit, inverse-CDF
 smoothing, weighted elpd/lppd reductions) over 1M observations x 4000 draws
 in float32 and prints one JSON line.
 
-Methodology: the synthetic log-likelihood is generated on device from
-deterministic keys, so a generation-only pass and a generation+PSIS pass see
-identical data; their wall-clock difference isolates the PSIS kernel.  A
-single scalar that depends on every chunk is fetched at the end (on the
-tunneled TPU, block_until_ready does not actually synchronize — only a
-device-to-host fetch does).
+Methodology notes for the tunneled TPU:
+* ``block_until_ready`` does not truly synchronize — only a device-to-host
+  fetch does — so a single scalar depending on every chunk is fetched once
+  at the end of the timed region.
+* The runtime serves *result-cached* answers for repeated identical
+  (program, arguments) executions, so every timed invocation must see
+  distinct inputs: two pre-materialized resident chunks are perturbed by a
+  per-iteration salt (one extra elementwise pass, ~2% overhead).
 
 The baseline is the reference's per-observation NumPy loop (argsort +
 Zhang-Stephens fit per row, /root/reference/pyloo/psis.py:114-160), ~1e4
@@ -38,6 +40,7 @@ from pyloo_tpu.ops.loo_kernels import loo_scores_psis_fast  # noqa: E402
 N_DRAWS = 4000
 TOTAL_OBS = 1_000_000
 CHUNK = 125_000  # 125k x 4000 f32 = 2 GB per input chunk
+N_RESIDENT = 2  # device-resident base chunks (4 GB of 16 GB HBM)
 REFERENCE_OBS_PER_SEC = 1.0e4  # SURVEY.md §6: 1e3-1e4 rows/s; generous end
 
 
@@ -46,42 +49,38 @@ def main():
     m_tail = tail_length(N_DRAWS, 1.0)
     n_chunks = TOTAL_OBS // CHUNK
 
-    @jax.jit
-    def make_chunk(key):
-        # mildly heavy-tailed synthetic log-weights
-        return 1.5 * jax.random.normal(key, (CHUNK, N_DRAWS), dtype=jnp.float32)
+    base = [
+        1.5
+        * jax.random.normal(
+            jax.random.PRNGKey(i), (CHUNK, N_DRAWS), dtype=jnp.float32
+        )
+        for i in range(N_RESIDENT)
+    ]
+    # force materialization on device
+    _ = [float(c[0, 0]) for c in base]
 
     @jax.jit
-    def smooth(chunk):
-        elpd_i, k, lppd_i = loo_scores_psis_fast(-chunk, m_tail)
+    def smooth(chunk, salt):
+        elpd_i, k, lppd_i = loo_scores_psis_fast(-(chunk + salt), m_tail)
         return jnp.sum(elpd_i), jnp.sum(k), jnp.sum(lppd_i)
 
-    keys = jax.random.split(jax.random.PRNGKey(0), n_chunks)
-
-    # compile + warm both programs, force completion with a fetch
-    e, k, l = smooth(make_chunk(keys[0]))
+    zero = jnp.zeros((), jnp.float32)
+    e, k, l = smooth(base[0], zero)  # compile + warm
     _ = float(e + k + l)
 
-    def run(include_psis: bool) -> tuple[float, float]:
-        t0 = time.perf_counter()
-        acc = jnp.zeros((), dtype=jnp.float32)
-        ksum = jnp.zeros((), dtype=jnp.float32)
-        for i in range(n_chunks):
-            chunk = make_chunk(keys[i])
-            if include_psis:
-                e, kv, l = smooth(chunk)
-                acc = acc + e
-                ksum = ksum + kv
-            else:
-                acc = acc + chunk[0, 0]
-        total = float(acc)  # single d2h fetch synchronizes everything
-        return time.perf_counter() - t0, float(ksum) / TOTAL_OBS
+    t0 = time.perf_counter()
+    acc = jnp.zeros((), jnp.float32)
+    ksum = jnp.zeros((), jnp.float32)
+    for i in range(n_chunks):
+        salt = jnp.float32(i) * jnp.float32(1e-6)
+        e, kv, l = smooth(base[i % N_RESIDENT], salt)
+        acc = acc + e
+        ksum = ksum + kv
+    total = float(acc)  # single d2h fetch synchronizes everything
+    wall = time.perf_counter() - t0
+    mean_khat = float(ksum) / TOTAL_OBS
 
-    gen_s, _ = run(include_psis=False)
-    full_s, mean_khat = run(include_psis=True)
-    psis_s = max(full_s - gen_s, 1e-9)
-
-    obs_per_sec = TOTAL_OBS / psis_s
+    obs_per_sec = TOTAL_OBS / wall
     result = {
         "metric": "psis_obs_per_sec_4k_draws",
         "value": round(obs_per_sec, 1),
@@ -90,9 +89,7 @@ def main():
         "detail": {
             "total_obs": TOTAL_OBS,
             "n_draws": N_DRAWS,
-            "psis_wall_s": round(psis_s, 3),
-            "datagen_wall_s": round(gen_s, 3),
-            "end_to_end_wall_s": round(full_s, 3),
+            "wall_s": round(wall, 3),
             "device": str(dev),
             "dtype": "float32",
             "mean_khat": round(mean_khat, 4),

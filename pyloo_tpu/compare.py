@@ -129,8 +129,10 @@ def loo_compare(
     )
 
 
-def _pointwise_matrix(elpds, ic_i):
-    """Pointwise elpds as (n_obs, n_models); validates matching lengths."""
+def _ic_matrix(elpds, ic_i):
+    """Pointwise elpds as (n_obs, n_models); validates matching lengths.
+
+    (Reference-compatible name, ``pyloo/compare.py:267-282``.)"""
     model_names = list(elpds.keys())
     columns = []
     rows = None
@@ -265,7 +267,7 @@ def _stacking_weights(elpds, ic, scale, solver="auto"):
     """
     model_names = list(elpds.keys())
     n_models = len(model_names)
-    rows, _, pointwise = _pointwise_matrix(elpds, f"{ic}_i")
+    rows, _, pointwise = _ic_matrix(elpds, f"{ic}_i")
     pointwise = _to_log_scale(pointwise, scale)
 
     if solver == "device" or (solver == "auto" and rows >= _DEVICE_SOLVER_MIN_OBS):
@@ -314,7 +316,7 @@ def _stacking_weights(elpds, ic, scale, solver="auto"):
 def _bb_pseudo_bma_weights(elpds, ic, b_samples, alpha, seed, scale):
     """Bayesian-bootstrap pseudo-BMA: Dirichlet reweighting, vectorized."""
     model_names = list(elpds.keys())
-    rows, cols, pointwise = _pointwise_matrix(elpds, f"{ic}_i")
+    rows, cols, pointwise = _ic_matrix(elpds, f"{ic}_i")
     pointwise = _to_log_scale(pointwise * rows, scale)
 
     rng = (

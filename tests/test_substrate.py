@@ -203,3 +203,15 @@ class TestProfiling:
 
         with annotate("test-region"):
             pass
+
+
+def test_profiler_trace_writes_files(tmp_path):
+    import jax.numpy as jnp
+
+    from pyloo_tpu.profiling import trace
+
+    with trace(str(tmp_path)):
+        _ = jnp.ones((8, 8)) @ jnp.ones((8, 8))
+    # a plugins/profile directory with at least one artifact appears
+    produced = list(tmp_path.rglob("*"))
+    assert produced, "profiler trace produced no files"

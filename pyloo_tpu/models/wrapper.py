@@ -249,6 +249,14 @@ class JAXModelWrapper:
     def get_observed_name(self):
         return "y" if "y" in self.model.obs_keys else self.model.obs_keys[0]
 
+    def get_variable_names(self):
+        """Names of the model's (unconstrained) parameters."""
+        return list(self.model.param_shapes)
+
+    def get_shapes(self):
+        """Unconstrained parameter shapes by name."""
+        return dict(self.model.param_shapes)
+
     def get_observed_data(self):
         """The primary observed-response array (first obs key named 'y' if
         present, else the first obs key)."""
@@ -287,12 +295,20 @@ class JAXModelWrapper:
         idata = fit(self.model, **opts)
         return idata
 
-    def log_likelihood_i(self, holdout_data: dict, idata: InferenceData):
+    def log_likelihood_i(self, holdout_data, idata: InferenceData):
         """Log-lik of held-out observation(s) under a refitted posterior.
 
-        ``holdout_data`` maps obs_keys to the held-out slices.  Returns an
-        array (chain, draw, n_holdout).
+        ``holdout_data`` maps obs_keys to the held-out slices; an integer /
+        index array selects the corresponding rows of the wrapper's
+        *original* data (the reference's ``log_likelihood_i(idx, idata)``
+        calling convention, ``pyloo/wrapper/pymc/pymc.py:271-381``).
+        Returns an array (chain, draw, n_holdout).
         """
+        if not isinstance(holdout_data, dict):
+            idx = np.atleast_1d(np.asarray(holdout_data))
+            holdout_data = {
+                k: self._original_data[k][idx] for k in self.model.obs_keys
+            }
         model_i = self.model.with_data(**holdout_data)
         draws = self._flat_draws(idata)
         if model_i.flat_dim != draws.shape[-1]:

@@ -1,0 +1,158 @@
+"""Run every benchmark config from BASELINE.json and print the results.
+
+Configs (BASELINE.md §"Benchmark configs to track"):
+1. loo(centered_eight, method='psis', pointwise=True)
+2. method=sis/tis variants + waic on the roaches Poisson-regression log-lik
+3. loo_compare centered vs non_centered (stacking / BB-pseudo-BMA / pseudo-BMA)
+4. loo_subsample (diff_srs + hh_pps) — the 1M synthetic run lives in
+   scripts/bench_subsample.py; here the wells posterior (3020 obs)
+5. loo_moment_match + loo_nonfactor
+
+Run:  python scripts/run_baseline_configs.py            (CPU by default)
+"""
+
+import json
+import os
+import sys
+import time
+import warnings
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+
+if os.environ.get("PYLOO_CONFIGS_ON_TPU") != "1":
+    jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
+import jax.numpy as jnp
+import numpy as np
+
+import pyloo_tpu as pl
+from pyloo_tpu.models import roaches_model, wells_model
+from pyloo_tpu.models.wrapper import Model, fit
+
+warnings.simplefilter("ignore")
+out = {}
+
+# -- config 1: centered_eight PSIS-LOO ---------------------------------------
+t0 = time.perf_counter()
+res = pl.loo(pl.load_example_data("centered_eight"), method="psis", pointwise=True)
+out["1_loo_centered_eight"] = {
+    "elpd_loo": round(float(res["elpd_loo"]), 2),
+    "se": round(float(res["se"]), 2),
+    "p_loo": round(float(res["p_loo"]), 2),
+    "looic": round(float(res["looic"]), 2),
+    "max_pareto_k": round(float(res.pareto_k.values.max()), 3),
+    "wall_s": round(time.perf_counter() - t0, 2),
+    "reference_README": {"elpd_loo": -30.78, "se": 1.35, "p_loo": 0.95},
+}
+
+# -- config 2: sis/tis/waic on roaches ---------------------------------------
+t0 = time.perf_counter()
+roaches = fit(roaches_model(), draws=500, tune=500, chains=2, seed=42)
+cfg2 = {}
+for method in ("psis", "sis", "tis"):
+    r = pl.loo(roaches, method=method)
+    cfg2[f"loo_{method}"] = round(float(r["elpd_loo"]), 1)
+cfg2["waic"] = round(float(pl.waic(roaches)["elpd_waic"]), 1)
+cfg2["wall_s"] = round(time.perf_counter() - t0, 2)
+out["2_roaches_sis_tis_waic"] = cfg2
+
+# -- config 3: loo_compare with all weight methods ---------------------------
+t0 = time.perf_counter()
+models = {
+    "centered": pl.load_example_data("centered_eight"),
+    "non_centered": pl.load_example_data("non_centered_eight"),
+}
+cfg3 = {}
+for method in ("stacking", "bb-pseudo-bma", "pseudo-bma"):
+    df = pl.loo_compare(dict(models), method=method, seed=42)
+    cfg3[method] = {
+        name: round(float(w), 4) for name, w in df["weight"].items()
+    }
+cfg3["elpd_diff_centered"] = round(float(df.loc["centered", "elpd_diff"]), 3)
+cfg3["dse_centered"] = round(float(df.loc["centered", "dse"]), 3)
+cfg3["wall_s"] = round(time.perf_counter() - t0, 2)
+out["3_compare_weights"] = cfg3
+
+# -- config 4: loo_subsample on wells ----------------------------------------
+t0 = time.perf_counter()
+wells = fit(wells_model(), draws=500, tune=500, chains=2, seed=42)
+full = pl.loo(wells)
+cfg4 = {"full_elpd": round(float(full["elpd_loo"]), 1)}
+np.random.seed(0)
+for estimator in ("diff_srs", "hh_pps"):
+    sub = pl.loo_subsample(wells, observations=400, estimator=estimator)
+    cfg4[estimator] = {
+        "elpd": round(float(sub["elpd_loo"]), 1),
+        "subsampling_SE": round(float(sub["subsampling_SE"]), 2),
+        "z_vs_full": round(
+            float(
+                (sub["elpd_loo"] - full["elpd_loo"])
+                / max(sub["subsampling_SE"], 1e-9)
+            ),
+            2,
+        ),
+    }
+cfg4["wall_s"] = round(time.perf_counter() - t0, 2)
+cfg4["note"] = "1M-synthetic-observation run: scripts/bench_subsample.py"
+out["4_wells_subsample"] = cfg4
+
+# -- config 5: moment matching + nonfactor -----------------------------------
+t0 = time.perf_counter()
+rng = np.random.default_rng(0)
+y = rng.normal(1.0, 1.0, size=30)
+y[0] = 8.5  # outlier drives k > 0.7
+
+
+def _logp(p, d):
+    s = jnp.exp(p["log_s"])
+    r = (d["y"] - p["mu"]) / s
+    return (
+        -0.5 * (p["mu"] / 10) ** 2
+        - 0.5 * (p["log_s"] / 2) ** 2
+        + jnp.sum(-0.5 * jnp.log(2 * jnp.pi) - p["log_s"] - 0.5 * r**2)
+    )
+
+
+def _ll(p, d):
+    s = jnp.exp(p["log_s"])
+    r = (d["y"] - p["mu"]) / s
+    return -0.5 * jnp.log(2 * jnp.pi) - p["log_s"] - 0.5 * r**2
+
+
+mm_model = Model(
+    "ls", {"y": y}, {"mu": (), "log_s": ()}, _logp, _ll, obs_keys=("y",)
+)
+idata = fit(mm_model, draws=500, tune=500, chains=2, seed=7)
+wrapper = pl.JAXModelWrapper(mm_model, idata)
+orig = pl.loo(idata, pointwise=True, reff=1.0)
+mm = pl.loo_moment_match(wrapper, orig, split=True, cov=True)
+cfg5 = {
+    "moment_match": {
+        "max_k_before": round(float(orig.pareto_k.values.max()), 3),
+        "max_k_after": round(float(mm.pareto_k.values.max()), 3),
+        "elpd_before": round(float(orig["elpd_loo"]), 2),
+        "elpd_after": round(float(mm["elpd_loo"]), 2),
+    }
+}
+
+N = 12
+A = rng.normal(size=(N, N)) * 0.3
+cov = A @ A.T + np.eye(N)
+y_mvn = rng.multivariate_normal(rng.normal(size=N), cov)
+mus = rng.normal(size=N)[None, None, :] + rng.normal(0, 0.05, size=(2, 150, N))
+covs = np.broadcast_to(cov[None, None] + 0.01 * np.eye(N), (2, 150, N, N)).copy()
+idata_nf = pl.from_dict(
+    posterior={"mu": mus, "cov": covs}, observed_data={"y": y_mvn}
+)
+nf = pl.loo_nonfactor(idata_nf, pointwise=True, reff=1.0)
+cfg5["nonfactor_mvn"] = {
+    "elpd_loo": round(float(nf["elpd_loo"]), 2),
+    "max_pareto_k": round(float(np.max(nf["pareto_k"].values)), 3),
+}
+cfg5["wall_s"] = round(time.perf_counter() - t0, 2)
+out["5_moment_match_nonfactor"] = cfg5
+
+print(json.dumps(out, indent=2))

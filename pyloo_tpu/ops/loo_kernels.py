@@ -62,9 +62,13 @@ def loo_scores_psis_fast(log_lik, tail_max: int):
     B, S = x_raw.shape
     dtype = x_raw.dtype
     M = tail_max
-    import math
+    # reference cutoff floor: log of float64-tiny (psis.py:90); representable
+    # as a float32 VALUE, and the log-domain fit never exponentiates it
+    import numpy as _np
 
-    cutoff_floor = jnp.asarray(math.log(float(jnp.finfo(dtype).tiny)), dtype)
+    cutoff_floor = jnp.asarray(
+        float(_np.log(_np.finfo(_np.float64).tiny)), dtype
+    )
 
     C = jnp.max(x_raw, axis=1, keepdims=True)
     x = x_raw - C

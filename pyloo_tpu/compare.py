@@ -45,6 +45,18 @@ def loo_compare(
 
     Returns a DataFrame ordered best-to-worst with columns rank / elpd /
     p_<ic> / elpd_diff / weight / se / dse / warning / scale.
+
+    Examples
+    --------
+    .. code-block:: python
+
+        import pyloo_tpu as pl
+
+        df = pl.loo_compare({
+            "centered": pl.load_example_data("centered_eight"),
+            "non_centered": pl.load_example_data("non_centered_eight"),
+        })
+        df["weight"]             # stacking weights on the simplex
     """
     if not isinstance(compare_dict, dict):
         raise TypeError("compare_dict must be a dictionary")

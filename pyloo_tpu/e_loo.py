@@ -94,6 +94,20 @@ def e_loo(
         Raw (unsmoothed) log ratios for sharper Pareto-k diagnostics.
     type : {"mean", "variance", "sd", "quantile"}
     probs : float or sequence, required for quantiles.
+
+    Examples
+    --------
+    .. code-block:: python
+
+        import pyloo_tpu as pl
+
+        idata = pl.load_example_data("centered_eight")
+        ll = idata.log_likelihood.obs.stack(__sample__=("chain", "draw"))
+        lw, k = pl.psislw(-ll)
+        means = pl.e_loo(idata, group="posterior", var_name="theta",
+                         log_weights=lw, log_ratios=-ll)
+        means.value              # LOO-weighted posterior means
+        means.pareto_k           # function-specific reliability diagnostic
     """
     if type not in ["mean", "variance", "sd", "quantile"]:
         raise ValueError("type must be 'mean', 'variance', 'sd' or 'quantile'")

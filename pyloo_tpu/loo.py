@@ -81,6 +81,18 @@ def loo(
     ELPDData
         Series with ``elpd_loo``/``se``/``p_loo``/``looic`` rows and, when
         pointwise, ``loo_i`` plus the method diagnostic (``pareto_k``/``ess``).
+
+    Examples
+    --------
+    .. code-block:: python
+
+        import pyloo_tpu as pl
+
+        idata = pl.load_example_data("centered_eight")
+        result = pl.loo(idata, pointwise=True)
+        print(result)            # elpd_loo, SE, p_loo, Pareto-k table
+        result.loo_i             # per-observation elpd
+        result.pareto_k          # per-observation diagnostics
     """
     inference_data = to_inference_data(data)
     log_likelihood = get_log_likelihood(inference_data, var_name=var_name)

@@ -83,6 +83,16 @@ def loo_subsample(
     -------
     ELPDData with subsampling rows (``subsampling_SE``, ``subsample_size``)
     and stored parameters enabling :func:`update_subsample`.
+
+    Examples
+    --------
+    .. code-block:: python
+
+        import pyloo_tpu as pl
+
+        sub = pl.loo_subsample(big_idata, observations=400)
+        print(sub["elpd_loo"], "+-", sub["subsampling_SE"])
+        more = pl.update_subsample(sub, observations=800)
     """
     inference_data = to_inference_data(data)
     log_likelihood = get_log_likelihood(inference_data, var_name=var_name)

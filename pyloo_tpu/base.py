@@ -125,6 +125,11 @@ def compute_importance_weights(
         raise ValueError("log_weights must be provided")
 
     matrix, n_samples, rebuild = as_sample_matrix(log_weights)
+    if n_samples < 2:
+        raise ValueError(
+            "importance sampling requires at least 2 draws per observation,"
+            f" got {n_samples}"
+        )
 
     if method == ISMethod.PSIS:
         m_tail = tail_length(n_samples, reff)

@@ -150,3 +150,8 @@ class TestMixturePrint:
         text = str(res)
         assert "mixture posterior" in text
         assert "p_loo" not in text
+
+
+def test_single_draw_rejected(rng):
+    with pytest.raises(ValueError, match="at least 2 draws"):
+        pl.psislw(rng.normal(size=(2, 1)))

@@ -165,6 +165,22 @@ def loo_nonfactor(
         )
 
     y_vals = np.asarray(y.values, dtype=np.float64)
+
+    # draws are the embarrassingly-parallel axis here (each needs the full
+    # N x N matrix), so shard them across the mesh (SURVEY.md §5)
+    from .parallel import obs_mesh
+
+    mesh = obs_mesh()
+    if mesh is not None and rcParams["device.auto_shard"]:
+        import jax as _jax
+        from jax.sharding import NamedSharding, PartitionSpec as _P
+
+        n_dev = int(np.prod(mesh.devices.shape))
+        if S % n_dev == 0:
+            draw_sharding = NamedSharding(mesh, _P("obs"))  # axis 0 = draws
+            mu_s = _jax.device_put(mu_s, draw_sharding)
+            mats = _jax.device_put(mats, draw_sharding)
+
     kwargs = (
         {"cov": mats} if cov_matrix is not None else {"prec": mats}
     )

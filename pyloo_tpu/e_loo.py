@@ -59,15 +59,28 @@ class ExpectationResult:
 
 
 def _as_matrix_pair(x_da, lw_da):
-    """Align h(theta) samples and log-weights into matching (B, S) matrices."""
-    x_matrix, S_x, rebuild = as_sample_matrix(x_da)
-    lw_matrix, S_w, _ = as_sample_matrix(lw_da)
+    """Align h(theta) samples and log-weights into matching (B, S) matrices.
+
+    A per-draw quantity without observation dimensions (e.g. a scalar
+    posterior parameter) broadcasts across the weights' observation axis,
+    mirroring the reference's xarray broadcasting (e_loo.py:429-436): the
+    result is then h's expectation under each observation's LOO weights.
+    """
+    x_matrix, S_x, x_rebuild = as_sample_matrix(x_da)
+    lw_matrix, S_w, lw_rebuild = as_sample_matrix(lw_da)
+    if S_x != S_w:
+        raise ValueError(
+            f"x has {S_x} draws but log_weights has {S_w}"
+        )
     if x_matrix.shape != lw_matrix.shape:
+        if x_matrix.shape[0] == 1:
+            x_matrix = np.broadcast_to(x_matrix, lw_matrix.shape)
+            return x_matrix, lw_matrix, lw_rebuild
         raise ValueError(
             f"x {x_matrix.shape} and log_weights {lw_matrix.shape} must have"
-            " the same shape"
+            " the same shape (or x must have no observation dimensions)"
         )
-    return x_matrix, lw_matrix, rebuild
+    return x_matrix, lw_matrix, x_rebuild
 
 
 def e_loo(

@@ -226,3 +226,30 @@ class TestELoo:
         lw, _ = pl.psislw(-ll, reff=1.0)
         res = pl.e_loo(idata, group="posterior", var_name="theta", log_weights=lw)
         assert res.value.values.shape == (8,)
+
+
+class TestELooBroadcast:
+    def test_scalar_parameter_broadcasts_over_observations(self, rng):
+        mu = rng.normal(size=(2, 300))
+        lw = rng.normal(size=(6, 600))
+        lw -= np.log(np.exp(lw).sum(1, keepdims=True))
+        idata = pl.from_dict(
+            posterior={"mu": mu},
+            log_likelihood={"obs": rng.normal(size=(2, 300, 6))},
+        )
+        res = pl.e_loo(
+            idata, group="posterior", var_name="mu",
+            log_weights=pl.DataArray(lw, ("obs", "__sample__")),
+        )
+        manual = (np.exp(lw) * mu.reshape(1, -1)).sum(1)
+        assert_allclose(np.asarray(res.value.values), manual, rtol=1e-12)
+        assert res.value.values.shape == (6,)
+
+    def test_draw_count_mismatch_rejected(self):
+        with pytest.raises(ValueError, match="draws"):
+            pl.e_loo(
+                pl.DataArray(np.zeros((1, 100)), ("obs", "__sample__")),
+                log_weights=pl.DataArray(
+                    np.zeros((5, 200)), ("obs", "__sample__")
+                ),
+            )

@@ -212,3 +212,13 @@ class TestFastPath:
         assert_allclose(
             r32.pareto_k.values, r64.pareto_k.values, atol=2e-3
         )
+
+
+@pytest.mark.parametrize("n_draws", [4000])
+def test_bench_scale_parity(rng, n_draws):
+    """BASELINE tolerance at the benchmark draw count (S=4000, float64)."""
+    lw = rng.normal(size=(24, n_draws)) * 1.2
+    got_lw, got_k = pl.psislw(lw)
+    want_lw, want_k = psis_matrix(lw)
+    assert_allclose(np.asarray(got_lw), want_lw, rtol=1e-8, atol=1e-8)
+    assert_allclose(np.asarray(got_k), want_k, rtol=1e-8, atol=1e-8)

@@ -1,0 +1,64 @@
+"""Exact top-k row selection tuned for TPU.
+
+``jax.lax.top_k`` and single-stage ``approx_max_k`` both lower to a bitonic
+partial sort over the FULL row width; on TPU that sort — not the HBM
+streaming — dominates (measured ~135 ms on-chip for (125k, 4000)->191
+against a ~2.4 ms single-pass floor on v5e).  Bitonic cost per element grows
+with the sorted width, so an exact segmented cascade is faster:
+
+  stage 1: top-k within each of G segments of width S/G
+  stage 2: top-k of the concatenated G*k per-segment winners
+
+Exactness: every global top-k element is a top-k element of its own segment,
+so the union of per-segment winners is a superset of the global top-k.
+Measured on a v5e chip at (125k, 4000)->191: 170 ms single-stage vs 115 ms
+for the G=4 cascade (identical outputs); G=2/G=8/3-stage variants all
+slower (145/137/123+ ms).
+
+Values-only: the cascade does not track original column indices (stage-2
+indices point into the stage-1 winner array), which is exactly what the
+scatter-free fast LOO kernel consumes.  Index-returning callers
+(``psislw_batch``'s scatter path) keep single-stage selection.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["topk_vals_desc"]
+
+# Segment width for the first cascade stage.  1000 was the measured optimum
+# at S=4000, k=191; rows narrower than _MIN_CASCADE_WIDTH or k too close to
+# the segment width fall back to single-stage selection.
+_SEGMENT_WIDTH = 1000
+_MIN_CASCADE_WIDTH = 2000
+
+
+def topk_vals_desc(x, k: int):
+    """Exact top-k values of each row of ``x``, descending.  (B, S) -> (B, k).
+
+    Equivalent to ``jax.lax.top_k(x, k)[0]`` but ~1.5x faster on TPU for
+    wide rows via the segmented cascade above.  Rows where the cascade
+    cannot shrink the sort width use plain single-stage selection.
+    """
+    s = x.shape[-1]
+    if k == s:
+        return jnp.sort(x, axis=-1, descending=True)
+    if s < _MIN_CASCADE_WIDTH or _SEGMENT_WIDTH < 2 * k:
+        return _single(x, k)
+
+    g = max(s // _SEGMENT_WIDTH, 2)
+    seg = -(-s // g)  # ceil; pad the ragged tail with -inf
+    pad = g * seg - s
+    if pad:
+        fill = jnp.full(x.shape[:-1] + (pad,), -jnp.inf, dtype=x.dtype)
+        x = jnp.concatenate([x, fill], axis=-1)
+    xs = x.reshape(x.shape[:-1] + (g, seg))
+    winners = _single(xs, min(k, seg))
+    return _single(winners.reshape(x.shape[:-1] + (g * min(k, seg),)), k)
+
+
+def _single(x, k: int):
+    vals, _ = jax.lax.approx_max_k(x, k, recall_target=1.0)
+    return vals

@@ -1,0 +1,62 @@
+"""Exactness of the segmented top-k cascade against lax.top_k."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from numpy.testing import assert_allclose
+
+from pyloo_tpu.ops.selection import topk_vals_desc
+
+
+@pytest.mark.parametrize(
+    "shape,k",
+    [
+        ((7, 4000), 191),   # bench shape: G=4 cascade
+        ((5, 4001), 191),   # ragged: needs -inf padding
+        ((3, 2500), 100),   # non-multiple of segment width
+        ((4, 1999), 191),   # below cascade threshold -> single stage
+        ((2, 300), 40),     # small
+        ((2, 64), 64),      # k == s -> full sort
+        ((6, 8192), 499),   # wide, k just under segment/2
+    ],
+)
+def test_matches_lax_topk(rng, shape, k):
+    x = jnp.asarray(rng.normal(size=shape), jnp.float32)
+    got = topk_vals_desc(x, k)
+    want, _ = jax.lax.top_k(x, k)
+    assert got.shape == (*shape[:-1], k)
+    assert_allclose(np.asarray(got), np.asarray(want), rtol=0)
+
+
+def test_ties_and_infs(rng):
+    # duplicated values and -inf entries: the value multiset must match
+    x = np.full((3, 4000), -np.inf, dtype=np.float32)
+    x[0, :50] = 1.0  # fewer finite values than k
+    x[1] = rng.integers(0, 5, size=4000)  # heavy ties
+    x[2] = rng.normal(size=4000)
+    got = np.asarray(topk_vals_desc(jnp.asarray(x), 191))
+    want = np.asarray(jax.lax.top_k(jnp.asarray(x), 191)[0])
+    assert_allclose(got, want, rtol=0)
+
+
+def test_float64_path(rng):
+    x = jnp.asarray(rng.normal(size=(4, 4000)), jnp.float64)
+    got = topk_vals_desc(x, 191)
+    want, _ = jax.lax.top_k(x, 191)
+    assert got.dtype == jnp.float64
+    assert_allclose(np.asarray(got), np.asarray(want), rtol=0)
+
+
+def test_fast_kernel_unchanged_by_cascade(rng):
+    # the fast LOO kernel must produce identical scores with the cascade
+    # selection as with single-stage selection (exactness end-to-end)
+    from pyloo_tpu.ops import tail_length
+    from pyloo_tpu.ops.loo_kernels import loo_scores_psis, loo_scores_psis_fast
+
+    ll = jnp.asarray(rng.normal(-1, 0.7, size=(64, 4000)), jnp.float32)
+    m = tail_length(4000, 1.0)
+    e_fast, k_fast, l_fast = loo_scores_psis_fast(ll, m)
+    e_ref, k_ref, l_ref = loo_scores_psis(ll.astype(jnp.float64), m)
+    assert_allclose(np.asarray(e_fast), np.asarray(e_ref), rtol=2e-4)
+    assert_allclose(np.asarray(k_fast), np.asarray(k_ref), atol=2e-3)

@@ -113,10 +113,14 @@ def loo_scores_psis_fast(log_lik, tail_max: int):
         log_abs_expm1 - jnp.log(jnp.abs(k))[:, None],
     )
     smoothed = jnp.logaddexp(log_sigma[:, None] + log_q, xcutoff[:, None])
-    smoothed = jnp.where(sign_sigma[:, None] > 0, smoothed, jnp.nan)
     smoothed = jnp.minimum(smoothed, 0.0)  # truncate weights at exp(0)
 
-    smooth_ok = (n_tail > 4) & jnp.isfinite(k)
+    # Throughput-path divergence from the reference: rows whose fit yields
+    # sigma <= 0 (a float32 fit degeneracy; the same rows are clean in
+    # float64) fall back to the UNSMOOTHED tail instead of the reference's
+    # NaN poisoning (psis.py gpinv semantics, preserved by the exact
+    # float64 path in psislw_batch).
+    smooth_ok = (n_tail > 4) & jnp.isfinite(k) & (sign_sigma > 0)
     s_vals = jnp.where(smooth_ok[:, None], smoothed, tail_vals)
 
     # row reductions: total exp mass, tail raw mass, tail smoothed mass

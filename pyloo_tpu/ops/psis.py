@@ -218,6 +218,26 @@ def _gpdfit_batch(log_ary, n, log_quart=None, log_last=None):
     # sigma = -k/b: positive when k and b have opposite signs
     sign_sigma = -jnp.sign(k_post) * sign_bp
     log_sigma = jnp.log(jnp.abs(k_post)) - log_bp
+
+    # Degenerate fits: the posterior-mean b is a mixed-sign weighted sum, and
+    # when it cancels to ~0 both k and sigma = -k/b become 0/0 noise (in
+    # float32 the noise can even flip sigma's sign, which poisons the row
+    # downstream).  Detect severe cancellation against the total magnitude
+    # sum(w*|b|) and substitute the exact b -> 0 limit of the GPD: the
+    # exponential distribution with k = 0, sigma = mean(exceedance).
+    log_absw_b = jnp.logaddexp(log_pos, log_neg)
+    cancelled = log_bp < log_absw_b + jnp.log(jnp.asarray(256.0, dtype) * eps)
+    ary_max = jnp.max(log_ary, axis=1)
+    safe_max = jnp.where(jnp.isfinite(ary_max), ary_max, 0.0)
+    log_mean_z = (
+        safe_max
+        + jnp.log(jnp.sum(jnp.exp(log_ary - safe_max[:, None]), axis=1))
+        - jnp.log(jnp.where(nf == 0, 1.0, nf))
+    )
+    k_post = jnp.where(cancelled, 0.0, k_post)
+    sign_sigma = jnp.where(cancelled, jnp.ones((), dtype), sign_sigma)
+    log_sigma = jnp.where(cancelled, log_mean_z, log_sigma)
+
     k_post = (nf * k_post + _PRIOR_K * 0.5) / (nf + _PRIOR_K)
     return k_post, sign_sigma, log_sigma
 

@@ -60,3 +60,37 @@ def test_fast_kernel_unchanged_by_cascade(rng):
     e_ref, k_ref, l_ref = loo_scores_psis(ll.astype(jnp.float64), m)
     assert_allclose(np.asarray(e_fast), np.asarray(e_ref), rtol=2e-4)
     assert_allclose(np.asarray(k_fast), np.asarray(k_ref), atol=2e-3)
+
+
+def test_degenerate_gpd_fit_stays_finite():
+    # Logistic-model chunk that historically produced a row whose GPD fit
+    # cancels to b ~ 0 in float32 (sigma = -k/b becomes 0/0 noise).  The fit
+    # must take the exponential limit (k=0, sigma=mean(z)) and the fast
+    # kernel must stay finite and close to the exact float64 path.
+    import jax
+
+    from pyloo_tpu.ops import tail_length
+    from pyloo_tpu.ops.loo_kernels import loo_scores_psis, loo_scores_psis_fast
+
+    key = jax.random.PRNGKey(0)
+    kb, kx = jax.random.split(key)
+    beta = 0.05 * jax.random.normal(
+        jax.random.fold_in(kb, 1), (400, 50), jnp.float32
+    )
+    kc = jax.random.fold_in(kx, 0)
+    X = jax.random.normal(kc, (65536, 50), jnp.float32)
+    y = jax.random.uniform(jax.random.fold_in(kc, 1), (65536, 1)) < 0.5
+    logits = X @ beta.T
+    ll = jnp.where(
+        y, jax.nn.log_sigmoid(logits), jax.nn.log_sigmoid(-logits)
+    )
+    m = tail_length(400, 1.0)
+    e, k, _ = loo_scores_psis_fast(ll, m)
+    assert bool(jnp.all(jnp.isfinite(e))), "fast kernel produced non-finite elpd"
+
+    # spot-check parity on a subsample against the exact float64 kernel
+    sub = ll[::512].astype(jnp.float64)
+    e64, _, _ = loo_scores_psis(sub, m)
+    assert_allclose(
+        np.asarray(e[::512], np.float64), np.asarray(e64), rtol=2e-3
+    )

@@ -1,0 +1,152 @@
+"""loo_streaming must reproduce loo() exactly on materialized data."""
+
+import warnings
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from numpy.testing import assert_allclose
+
+import pyloo_tpu as pl
+
+N_OBS, N_DRAWS = 103, 500  # deliberately not a multiple of any chunk size
+
+
+@pytest.fixture(scope="module")
+def ll_matrix(rng_module):
+    return rng_module.normal(-1.2, 0.6, size=(N_OBS, N_DRAWS))
+
+
+@pytest.fixture(scope="module")
+def rng_module():
+    return np.random.default_rng(11)
+
+
+def _fn(ll_dev):
+    def log_lik_fn(idx):
+        return ll_dev[idx]
+
+    return log_lik_fn
+
+
+def _loo_reference(ll, **kw):
+    idata = pl.from_dict(log_likelihood={"obs": ll.T[None]})
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        return pl.loo(idata, reff=1.0, **kw)
+
+
+@pytest.mark.parametrize("chunk", [16, 64, 200])
+def test_matches_loo_exact(ll_matrix, chunk):
+    ll_dev = jnp.asarray(ll_matrix)
+    res = pl.loo_streaming(
+        _fn(ll_dev), N_OBS, N_DRAWS, chunk_size=chunk, dtype=jnp.float64
+    )
+    ref = _loo_reference(ll_matrix)
+    for key in ("elpd_loo", "se", "p_loo", "p_loo_se", "looic", "looic_se"):
+        assert_allclose(res[key], ref[key], rtol=1e-9, err_msg=key)
+    assert res["n_samples"] == N_DRAWS
+    assert res["n_data_points"] == N_OBS
+    assert res["good_k"] == ref["good_k"]
+
+
+def test_pointwise_matches(ll_matrix):
+    ll_dev = jnp.asarray(ll_matrix)
+    res = pl.loo_streaming(
+        _fn(ll_dev), N_OBS, N_DRAWS, chunk_size=32, pointwise=True,
+        dtype=jnp.float64,
+    )
+    ref = _loo_reference(ll_matrix, pointwise=True)
+    assert_allclose(res.loo_i.values, ref.loo_i.values, rtol=1e-9)
+    assert_allclose(res.pareto_k.values, ref.pareto_k.values, rtol=1e-7)
+    assert res.loo_i.values.shape == (N_OBS,)
+
+
+def test_fast_f32_path_close(ll_matrix):
+    ll_dev = jnp.asarray(ll_matrix, jnp.float32)
+    res = pl.loo_streaming(
+        _fn(ll_dev), N_OBS, N_DRAWS, chunk_size=64, dtype=jnp.float32
+    )
+    ref = _loo_reference(ll_matrix)
+    assert_allclose(res["elpd_loo"], ref["elpd_loo"], rtol=5e-5)
+    assert_allclose(res["p_loo"], ref["p_loo"], atol=5e-3)
+
+
+def test_scale_deviance(ll_matrix):
+    ll_dev = jnp.asarray(ll_matrix)
+    res = pl.loo_streaming(
+        _fn(ll_dev), N_OBS, N_DRAWS, scale="deviance", dtype=jnp.float64
+    )
+    ref = _loo_reference(ll_matrix, scale="deviance")
+    for key in ("elpd_loo", "se", "p_loo", "p_loo_se"):
+        assert_allclose(res[key], ref[key], rtol=1e-9, err_msg=key)
+    assert res["scale"] == "deviance"
+
+
+@pytest.mark.parametrize("method", ["sis", "tis"])
+def test_sis_tis_methods(ll_matrix, method):
+    ll_dev = jnp.asarray(ll_matrix)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        res = pl.loo_streaming(
+            _fn(ll_dev), N_OBS, N_DRAWS, method=method, pointwise=True,
+            dtype=jnp.float64,
+        )
+        ref = _loo_reference(ll_matrix, method=method, pointwise=True)
+    assert_allclose(res["elpd_loo"], ref["elpd_loo"], rtol=1e-9)
+    assert_allclose(res.ess.values, ref.ess.values, rtol=1e-9)
+
+
+def test_mesh_sharded_streaming(ll_matrix):
+    from jax.sharding import Mesh
+
+    mesh = Mesh(np.asarray(jax.devices()[:8]), axis_names=("obs",))
+    ll_dev = jnp.asarray(ll_matrix)
+    res = pl.loo_streaming(
+        _fn(ll_dev), N_OBS, N_DRAWS, chunk_size=40, mesh=mesh,
+        dtype=jnp.float64,
+    )
+    ref = _loo_reference(ll_matrix)
+    assert_allclose(res["elpd_loo"], ref["elpd_loo"], rtol=1e-9)
+
+
+def test_on_the_fly_model_never_materializes(rng_module):
+    # model-backed ll: logistic regression with device-resident draws;
+    # streaming result must equal loo() on the explicitly materialized matrix
+    n, d, s = 257, 5, 400
+    X = rng_module.normal(size=(n, d))
+    y = (rng_module.random(n) < 0.5).astype(np.float64)
+    beta = rng_module.normal(scale=0.3, size=(s, d))
+    Xd, yd, bd = jnp.asarray(X), jnp.asarray(y), jnp.asarray(beta)
+
+    def log_lik_fn(idx):
+        logits = Xd[idx] @ bd.T  # (chunk, s)
+        return yd[idx, None] * jax.nn.log_sigmoid(logits) + (
+            1 - yd[idx, None]
+        ) * jax.nn.log_sigmoid(-logits)
+
+    ll = np.asarray(log_lik_fn(jnp.arange(n)))
+    res = pl.loo_streaming(log_lik_fn, n, s, chunk_size=96, dtype=jnp.float64)
+    ref = _loo_reference(ll)
+    assert_allclose(res["elpd_loo"], ref["elpd_loo"], rtol=1e-9)
+    assert_allclose(res["se"], ref["se"], rtol=1e-9)
+
+
+def test_validation():
+    fn = lambda idx: jnp.zeros((idx.shape[0], 1))
+    with pytest.raises(ValueError, match="at least 2 draws"):
+        pl.loo_streaming(fn, 10, 1)
+    with pytest.raises(ValueError, match="n_obs"):
+        pl.loo_streaming(fn, 0, 100)
+    with pytest.raises(ValueError):
+        pl.loo_streaming(fn, 10, 100, method="bogus")
+
+
+def test_high_khat_warns(rng_module):
+    # heavy-tailed importance ratios (t, df<2) -> k above threshold
+    ll = -rng_module.standard_t(df=1.2, size=(24, 300)) * 2
+    ll_dev = jnp.asarray(ll)
+    with pytest.warns(UserWarning, match="Pareto"):
+        res = pl.loo_streaming(_fn(ll_dev), 24, 300, dtype=jnp.float64)
+    assert bool(res["warning"])

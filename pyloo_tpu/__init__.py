@@ -66,7 +66,7 @@ from .plots import (
 from .loo_predictive_metric import MetricResult, loo_predictive_metric
 from .loo_score import LooScoreResult, loo_score
 from .loo_subsample import loo_subsample, update_subsample
-from .streaming import loo_streaming
+from .streaming import loo_streaming, loo_subsample_streaming
 from .psis import psislw
 from .rcparams import rcParams
 from .sis import sislw
@@ -87,6 +87,7 @@ __all__ = [
     "loo_compare",
     "loo_streaming",
     "loo_subsample",
+    "loo_subsample_streaming",
     "update_subsample",
     "loo_group",
     "loo_i",

@@ -41,7 +41,7 @@ from .ops.loo_kernels import (
 )
 from .rcparams import rcParams
 
-__all__ = ["loo_streaming"]
+__all__ = ["loo_streaming", "loo_subsample_streaming"]
 
 
 def _kernel_for(method, tail_max, dtype):
@@ -275,3 +275,236 @@ def loo_streaming(
         loo_lppd_i=loo_lppd_i, diagnostic=diagnostic,
         method=method, good_k=good_k if method == ISMethod.PSIS else None,
     )
+
+
+@jax.jit
+def _lpd_chunk(ll):
+    from .ops.lse import logsumexp
+
+    return logsumexp(ll, axis=1, b_inv=ll.shape[1])
+
+
+def loo_subsample_streaming(
+    log_lik_fn,
+    n_obs: int,
+    n_draws: int,
+    observations=400,
+    *,
+    estimator: str = "diff_srs",
+    elpd_loo_approximation=None,
+    reff: float = 1.0,
+    chunk_size: int | None = None,
+    pointwise: bool = False,
+    scale: str | None = None,
+    dtype=None,
+    mesh=None,
+    seed: int | None = None,
+):
+    """Subsampled LOO (reference ``pyloo/loo_subsample.py:120-539``) where the
+    log-likelihood is computed on device by ``log_lik_fn`` — never
+    materialized for the full dataset.
+
+    The cheap per-observation approximation (the LPD, computed by streaming
+    ``log_lik_fn`` chunk by chunk) ranks/weights all ``n_obs`` observations;
+    exact PSIS-LOO then runs on the ``observations``-sized subsample only
+    (one ``log_lik_fn`` call), and the chosen survey estimator
+    (diff_srs / hh_pps / srs) produces the population elpd with a
+    subsampling SE.  Pass ``elpd_loo_approximation`` (an ``(n_obs,)``
+    array, e.g. a PLPD computed from posterior means) to skip the streamed
+    LPD pass.
+
+    Returns ELPDData with the same rows as :func:`pyloo_tpu.loo_subsample`.
+    """
+    from .constants import EstimatorMethod
+    from .estimators import (
+        SimpleRandomSamplingEstimator,
+        SubsampleIndices,
+        compute_sampling_probabilities,
+        get_estimator,
+        subsample_indices,
+    )
+    from .ops.loo_kernels import waic_scores  # noqa: F401  (parity with loo_subsample imports)
+
+    if estimator is None:
+        estimator = "diff_srs"
+    try:
+        est_method = EstimatorMethod(estimator.lower())
+    except ValueError:
+        raise ValueError(
+            f"Invalid estimator '{estimator}'. "
+            f"Must be one of: {', '.join(m.value for m in EstimatorMethod)}"
+        )
+    scale, scale_value = resolve_scale(scale)
+    if n_draws < 2:
+        raise ValueError("PSIS requires at least 2 draws per observation.")
+    if n_obs < 1:
+        raise ValueError("n_obs must be positive.")
+    if dtype is None:
+        dtype = jnp.dtype(rcParams["device.precision"])
+    else:
+        dtype = jnp.dtype(dtype)
+
+    if isinstance(observations, (int, np.integer)):
+        if observations <= 0 or observations > n_obs:
+            raise ValueError(
+                f"Number of observations must be between 1 and {n_obs}, "
+                f"got {observations}"
+            )
+    elif isinstance(observations, np.ndarray):
+        if not np.issubdtype(observations.dtype, np.integer):
+            raise TypeError("observations array must contain integers")
+        if observations.min() < 0 or observations.max() >= n_obs:
+            raise ValueError(
+                f"Observation indices must be between 0 and {n_obs - 1}, "
+                f"got range [{observations.min()}, {observations.max()}]"
+            )
+    else:
+        raise TypeError(
+            "observations must be an integer or an array of integers"
+        )
+
+    if chunk_size is None:
+        chunk_size = max((2 << 30) // (n_draws * dtype.itemsize), 8)
+    chunk_size = int(min(chunk_size, n_obs))
+    multiple = 8 if mesh is None else int(np.lcm(8, mesh.devices.size))
+    chunk_size = max(multiple, chunk_size - chunk_size % multiple)
+    n_chunks = -(-n_obs // chunk_size)
+
+    gen_kwargs = {}
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        gen_kwargs["out_shardings"] = NamedSharding(mesh, P("obs", None))
+
+    @partial(jax.jit, **gen_kwargs)
+    def gen(c):
+        start = c * chunk_size
+        idx = start + jnp.arange(chunk_size, dtype=jnp.int32)
+        return log_lik_fn(jnp.minimum(idx, n_obs - 1)).astype(dtype)
+
+    # -- cheap approximation for every observation (streamed LPD) -----------
+    if elpd_loo_approximation is not None:
+        elpd_loo_approx = np.asarray(elpd_loo_approximation, np.float64).ravel()
+        if elpd_loo_approx.shape[0] != n_obs:
+            raise ValueError(
+                f"elpd_loo_approximation must have length {n_obs}, "
+                f"got {elpd_loo_approx.shape[0]}"
+            )
+    else:
+        buf = jnp.zeros((n_chunks * chunk_size,), dtype)
+        for c in range(n_chunks):
+            ci = jnp.asarray(c, jnp.int32)
+            buf = _write_chunk(
+                buf, _lpd_chunk(gen(ci)), jnp.asarray(c * chunk_size, jnp.int32)
+            )
+        elpd_loo_approx = np.asarray(jax.device_get(buf), np.float64)[:n_obs]
+
+    # -- draw the subsample ---------------------------------------------------
+    if isinstance(observations, np.ndarray):
+        indices = SubsampleIndices(
+            idx=observations, m_i=np.ones_like(observations)
+        )
+    else:
+        rng = np.random.default_rng(seed) if seed is not None else None
+        indices = subsample_indices(
+            estimator=est_method.value,
+            elpd_loo_approximation=elpd_loo_approx,
+            observations=int(observations),
+            rng=rng,
+        )
+
+    # -- exact PSIS-LOO on the m sampled rows (one generator call) ----------
+    ll_sample = np.asarray(
+        jax.device_get(log_lik_fn(jnp.asarray(indices.idx, jnp.int32))),
+        np.float64,
+    )
+    m_tail = tail_length(n_draws, reff)
+    elpd_sample, diagnostic, _ = loo_scores_psis(
+        jnp.asarray(ll_sample), m_tail
+    )
+    loo_lppd_i = scale_value * np.asarray(elpd_sample)
+    diagnostic = np.asarray(diagnostic)
+
+    # -- population estimates (identical to loo_subsample) -------------------
+    estimator_impl = get_estimator(est_method.value)
+    p_loo_values = np.var(ll_sample, axis=1)
+
+    if est_method == EstimatorMethod.HH_PPS:
+        z = compute_sampling_probabilities(elpd_loo_approx)
+        z_sample = z[indices.idx]
+        estimates = estimator_impl.estimate(
+            z=z_sample, m_i=indices.m_i, y=loo_lppd_i, N=n_obs
+        )
+        p_loo_estimates = estimator_impl.estimate(
+            z=z_sample, m_i=indices.m_i, y=p_loo_values, N=n_obs
+        )
+    elif est_method == EstimatorMethod.SRS:
+        estimates = estimator_impl.estimate(y=loo_lppd_i, N=n_obs)
+        p_loo_estimates = estimator_impl.estimate(y=p_loo_values, N=n_obs)
+    else:  # diff_srs
+        estimates = estimator_impl.estimate(
+            y_approx=elpd_loo_approx, y=loo_lppd_i, y_idx=indices.idx
+        )
+        p_loo_estimates = SimpleRandomSamplingEstimator().estimate(
+            y=p_loo_values, N=n_obs
+        )
+
+    p_loo = p_loo_estimates.y_hat
+    p_loo_se = np.sqrt(p_loo_estimates.hat_v_y)
+    p_loo_subsampling_se = np.sqrt(p_loo_estimates.v_y_hat)
+    se = np.sqrt(estimates.hat_v_y)
+    subsampling_se = np.sqrt(estimates.v_y_hat)
+    looic = -2 * estimates.y_hat
+    looic_se = 2 * se
+    looic_subsamp_se = 2 * subsampling_se
+
+    good_k = good_k_threshold(n_draws)
+    max_k = np.nanmax(diagnostic) if not np.all(np.isnan(diagnostic)) else 0
+    warn_mg = False
+    if max_k > good_k:
+        n_high_k = int(np.sum(diagnostic > good_k))
+        warnings.warn(
+            "Estimated shape parameter of Pareto distribution is greater than"
+            f" {good_k:.2f} for {n_high_k} observations. This indicates that"
+            " importance sampling may be unreliable because the marginal"
+            " posterior and LOO posterior are very different.",
+            UserWarning,
+            stacklevel=2,
+        )
+        warn_mg = True
+
+    rows = [
+        ("elpd_loo", estimates.y_hat),
+        ("se", se),
+        ("p_loo", p_loo),
+        ("p_loo_se", p_loo_se),
+        ("p_loo_subsampling_se", p_loo_subsampling_se),
+        ("n_samples", n_draws),
+        ("n_data_points", n_obs),
+        ("warning", warn_mg),
+    ]
+    if pointwise:
+        loo_lppd_i_full = np.full(n_obs, np.nan)
+        loo_lppd_i_full[indices.idx] = loo_lppd_i
+        rows.append(("loo_i", DataArray(loo_lppd_i_full, name="loo_i")))
+    rows += [
+        ("scale", scale),
+        ("good_k", good_k),
+        ("subsampling_SE", subsampling_se),
+        ("subsample_size", len(indices.idx)),
+        ("looic", looic),
+        ("looic_se", looic_se),
+        ("looic_subsamp_se", looic_subsamp_se),
+    ]
+    if pointwise:
+        rows.append(("pareto_k", diagnostic))
+    rows.append(("method", "loo_subsample"))
+
+    result = ELPDData(data=[v for _, v in rows], index=[k for k, _ in rows])
+    result.estimates = estimates
+    result.estimates.loo_approximation = (
+        "custom" if elpd_loo_approximation is not None else "lpd"
+    )
+    result.estimates.estimator = est_method.value
+    result.estimates.indices = indices
+    return result

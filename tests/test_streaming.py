@@ -150,3 +150,96 @@ def test_high_khat_warns(rng_module):
     with pytest.warns(UserWarning, match="Pareto"):
         res = pl.loo_streaming(_fn(ll_dev), 24, 300, dtype=jnp.float64)
     assert bool(res["warning"])
+
+
+class TestSubsampleStreaming:
+    @pytest.fixture(scope="class")
+    def big(self):
+        rng = np.random.default_rng(5)
+        n, s = 2000, 400
+        ll = rng.normal(-1.0, 0.5, size=(n, s))
+        return n, s, ll, jnp.asarray(ll)
+
+    def test_fixed_indices_match_loo_subsample(self, big):
+        n, s, ll, ll_dev = big
+        idx = np.arange(0, n, 5)  # fixed subsample: estimator randomness off
+        res = pl.loo_subsample_streaming(
+            lambda i: ll_dev[i], n, s, observations=idx, dtype=jnp.float64,
+            pointwise=True,
+        )
+        idata = pl.from_dict(log_likelihood={"obs": ll.T[None]})
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            ref = pl.loo_subsample(
+                idata, observations=idx, loo_approximation="lpd", reff=1.0,
+                pointwise=True,
+            )
+        for key in (
+            "elpd_loo", "se", "p_loo", "p_loo_se", "subsampling_SE",
+            "looic", "looic_se", "looic_subsamp_se",
+        ):
+            assert_allclose(res[key], ref[key], rtol=1e-9, err_msg=key)
+        assert res["subsample_size"] == ref["subsample_size"] == len(idx)
+        assert_allclose(
+            res.loo_i.values[idx], np.asarray(ref.loo_i.values).ravel()[idx],
+            rtol=1e-9,
+        )
+
+    def test_diff_srs_estimate_close_to_full(self, big):
+        n, s, ll, ll_dev = big
+        res = pl.loo_subsample_streaming(
+            lambda i: ll_dev[i], n, s, observations=500, seed=7,
+            dtype=jnp.float64,
+        )
+        idata = pl.from_dict(log_likelihood={"obs": ll.T[None]})
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            full = pl.loo(idata, reff=1.0)
+        z = abs(res["elpd_loo"] - full["elpd_loo"]) / max(
+            res["subsampling_SE"], 1e-12
+        )
+        assert z < 4.0, (res["elpd_loo"], full["elpd_loo"], res["subsampling_SE"])
+
+    def test_hh_pps_estimator(self, big):
+        n, s, ll, ll_dev = big
+        res = pl.loo_subsample_streaming(
+            lambda i: ll_dev[i], n, s, observations=400, estimator="hh_pps",
+            seed=11, dtype=jnp.float64,
+        )
+        assert np.isfinite(res["elpd_loo"])
+        assert res["subsampling_SE"] > 0
+        assert res["method"] == "loo_subsample"
+
+    def test_precomputed_approximation(self, big):
+        n, s, ll, ll_dev = big
+        from scipy.special import logsumexp as sp
+
+        lpd = sp(ll, axis=1) - np.log(s)
+        r1 = pl.loo_subsample_streaming(
+            lambda i: ll_dev[i], n, s, observations=np.arange(100),
+            elpd_loo_approximation=lpd, dtype=jnp.float64,
+        )
+        r2 = pl.loo_subsample_streaming(
+            lambda i: ll_dev[i], n, s, observations=np.arange(100),
+            dtype=jnp.float64,
+        )
+        assert_allclose(r1["elpd_loo"], r2["elpd_loo"], rtol=1e-9)
+
+    def test_validation(self, big):
+        n, s, ll, ll_dev = big
+        fn = lambda i: ll_dev[i]
+        with pytest.raises(ValueError, match="Invalid estimator"):
+            pl.loo_subsample_streaming(fn, n, s, estimator="bogus")
+        with pytest.raises(ValueError, match="between 1 and"):
+            pl.loo_subsample_streaming(fn, n, s, observations=0)
+        with pytest.raises(ValueError, match="Observation indices"):
+            pl.loo_subsample_streaming(
+                fn, n, s, observations=np.array([0, n])
+            )
+        with pytest.raises(ValueError, match="must have length"):
+            pl.loo_subsample_streaming(
+                fn, n, s, observations=10,
+                elpd_loo_approximation=np.zeros(5),
+            )
+        with pytest.raises(TypeError, match="integer"):
+            pl.loo_subsample_streaming(fn, n, s, observations=2.5)

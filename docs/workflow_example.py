@@ -136,3 +136,32 @@ print(
     f"\nLOO-weighted E[mu | y_-i] range:"
     f" [{post_mu.value.values.min():.3f}, {post_mu.value.values.max():.3f}]"
 )
+
+# --- 9. streaming LOO: log-likelihood computed on device, never stored ------
+# For datasets whose (n_obs, n_draws) matrix would not fit anywhere, give
+# loo_streaming a traceable generator; it evaluates + scores chunk by chunk.
+flat = idata.sample_stats._flat_draws.values.reshape(-1, 2)  # (S, [mu, log_s])
+mu_d, log_s_d = jnp.asarray(flat[:, 0]), jnp.asarray(flat[:, 1])
+y_dev = jnp.asarray(y)
+
+
+def log_lik_fn(obs_idx):  # (chunk,) int32 -> (chunk, S)
+    resid = (y_dev[obs_idx, None] - mu_d[None, :]) / jnp.exp(log_s_d)[None, :]
+    return (
+        -0.5 * resid**2 - log_s_d[None, :] - 0.5 * jnp.log(2 * jnp.pi)
+    )
+
+
+stream = pl.loo_streaming(
+    log_lik_fn, n_obs=len(y), n_draws=flat.shape[0], dtype=jnp.float64
+)
+print(f"\nstreaming elpd_loo: {stream['elpd_loo']:.2f} (se {stream['se']:.2f})")
+
+sub = pl.loo_subsample_streaming(
+    log_lik_fn, n_obs=len(y), n_draws=flat.shape[0],
+    observations=min(50, len(y)), seed=1, dtype=jnp.float64,
+)
+print(
+    f"subsampled streaming elpd_loo: {sub['elpd_loo']:.2f}"
+    f" (subsampling SE {sub['subsampling_SE']:.2f})"
+)

@@ -239,11 +239,14 @@ def loo_subsample(
             y=p_loo_values, N=n_data_points
         )
 
+    # the difference estimator's variance estimates can come out negative on
+    # small subsamples; clamp at zero so se stays a number (reference leaves
+    # this unguarded and leaks NaN)
     p_loo = p_loo_estimates.y_hat
-    p_loo_se = np.sqrt(p_loo_estimates.hat_v_y)
-    p_loo_subsampling_se = np.sqrt(p_loo_estimates.v_y_hat)
-    se = np.sqrt(estimates.hat_v_y)
-    subsampling_se = np.sqrt(estimates.v_y_hat)
+    p_loo_se = np.sqrt(max(p_loo_estimates.hat_v_y, 0.0))
+    p_loo_subsampling_se = np.sqrt(max(p_loo_estimates.v_y_hat, 0.0))
+    se = np.sqrt(max(estimates.hat_v_y, 0.0))
+    subsampling_se = np.sqrt(max(estimates.v_y_hat, 0.0))
     looic = -2 * estimates.y_hat
     looic_se = 2 * se
     looic_subsamp_se = 2 * subsampling_se

@@ -17,7 +17,25 @@ __all__ = ["psislw", "ImportanceSamplingResult"]
 
 @dataclass(frozen=True)
 class ImportanceSamplingResult:
-    """Container for importance sampling results."""
+    """Bundle of everything an importance-sampling pass produced.
+
+    Mirrors the result container the reference exposes from ``psis.py`` so
+    downstream code (moment matching, resampling) can consume either library
+    interchangeably.
+
+    Attributes
+    ----------
+    samples : np.ndarray
+        The (possibly resampled) posterior draws the weights refer to.
+    log_weights : np.ndarray
+        Smoothed, truncated, self-normalized log importance weights.
+    pareto_k : np.ndarray or float or None
+        GPD shape diagnostic(s); ``None`` for methods without one (SIS/TIS).
+    warnings : list of str
+        Human-readable diagnostics accumulated while computing the weights.
+    method : str or None
+        Name of the importance-sampling method that produced the weights.
+    """
 
     samples: np.ndarray
     log_weights: np.ndarray

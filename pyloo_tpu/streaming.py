@@ -449,11 +449,14 @@ def loo_subsample_streaming(
             y=p_loo_values, N=n_obs
         )
 
+    # the difference estimator's variance estimates can come out negative on
+    # small subsamples; clamp at zero so se stays a number (reference leaves
+    # this unguarded and leaks NaN)
     p_loo = p_loo_estimates.y_hat
-    p_loo_se = np.sqrt(p_loo_estimates.hat_v_y)
-    p_loo_subsampling_se = np.sqrt(p_loo_estimates.v_y_hat)
-    se = np.sqrt(estimates.hat_v_y)
-    subsampling_se = np.sqrt(estimates.v_y_hat)
+    p_loo_se = np.sqrt(max(p_loo_estimates.hat_v_y, 0.0))
+    p_loo_subsampling_se = np.sqrt(max(p_loo_estimates.v_y_hat, 0.0))
+    se = np.sqrt(max(estimates.hat_v_y, 0.0))
+    subsampling_se = np.sqrt(max(estimates.v_y_hat, 0.0))
     looic = -2 * estimates.y_hat
     looic_se = 2 * se
     looic_subsamp_se = 2 * subsampling_se
@@ -461,7 +464,20 @@ def loo_subsample_streaming(
     good_k = good_k_threshold(n_draws)
     max_k = np.nanmax(diagnostic) if not np.all(np.isnan(diagnostic)) else 0
     warn_mg = False
-    if max_k > good_k:
+    if est_method == EstimatorMethod.SRS:
+        # mirror loo_subsample: the reference treats SRS diagnostics as
+        # ESS-like (loo_subsample.py:454-464)
+        min_ess = float(np.min(diagnostic))
+        if min_ess < n_draws * 0.1:
+            warnings.warn(
+                f"Low effective sample size detected (minimum ESS: {min_ess:.1f}). This"
+                " indicates that the importance sampling approximation may be"
+                " unreliable. Consider using PSIS which is more robust to such cases.",
+                UserWarning,
+                stacklevel=2,
+            )
+            warn_mg = True
+    elif max_k > good_k:
         n_high_k = int(np.sum(diagnostic > good_k))
         warnings.warn(
             "Estimated shape parameter of Pareto distribution is greater than"

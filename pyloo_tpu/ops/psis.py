@@ -162,6 +162,12 @@ def _gpdfit_batch(log_ary, n, log_quart=None, log_last=None):
         -jnp.ones_like(c),
         log_term2,
     )  # (B, m_max)
+    # Grid slots beyond m_est (rows whose tail is shorter than the static
+    # budget) have c > 0, so log(-c) above is NaN.  They carry zero posterior
+    # weight, but NaN beats the -inf masking in the signed-log sums below
+    # (-inf + NaN = NaN); pin them to a harmless finite candidate instead.
+    sign_b = jnp.where(grid_valid, sign_b, jnp.ones((), dtype))
+    log_b = jnp.where(grid_valid, log_b, jnp.zeros((), dtype))
 
     def profile_loglik(_, cols):
         s_col, l_col = cols  # (B,) each
@@ -360,11 +366,42 @@ def psislw_batch(log_weights, tail_max: int):
 
     # inverse-CDF smoothing at plotting positions, in log space:
     # smoothed = log(sigma * qGPD(p; k) + exp(xcutoff))
+    #
+    # Plotting positions must replicate the reference's STABLE ASCENDING
+    # argsort (psis.py:152-156): within a run of tied tail values, the
+    # element at the lower original index gets the lower position.  top_k is
+    # stable in the opposite direction (ties ordered by increasing original
+    # index as the descending slot grows), so the ascending rank of slot d is
+    # (n - 1 - run_end) + (d - run_start) — the plain n - 1 - d for distinct
+    # values, reversed within each tied run.
     nf = n_tail.astype(dtype)
     eps = jnp.finfo(dtype).eps
-    probs = (nf[:, None] - slot.astype(dtype)[None, :] - 0.5) / jnp.where(
-        nf == 0, 1.0, nf
-    )[:, None]
+    is_run_start = jnp.concatenate(
+        [
+            jnp.ones((B, 1), bool),
+            tail_vals[:, 1:] != tail_vals[:, :-1],
+        ],
+        axis=1,
+    )
+    is_run_end = jnp.concatenate(
+        [
+            tail_vals[:, 1:] != tail_vals[:, :-1],
+            jnp.ones((B, 1), bool),
+        ],
+        axis=1,
+    )
+    run_start = jax.lax.associative_scan(
+        jnp.maximum, jnp.where(is_run_start, slot[None, :], -1), axis=1
+    )
+    run_end = jax.lax.associative_scan(
+        jnp.minimum,
+        jnp.where(is_run_end, slot[None, :], tail_max),
+        axis=1,
+        reverse=True,
+    )
+    asc_rank = (n_tail[:, None] - 1 - run_end) + (slot[None, :] - run_start)
+    probs = (asc_rank.astype(dtype) + 0.5) / jnp.where(nf == 0, 1.0, nf)[:, None]
+    probs = jnp.where(slot_valid, probs, 0.5)
     log1m_p = jnp.log1p(-jnp.where(slot_valid, probs, 0.5))
     u = -k[:, None] * log1m_p  # sign(u) == sign(k); expm1(u)/k > 0 always
     abs_u = jnp.abs(u)

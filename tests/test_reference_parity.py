@@ -1,0 +1,234 @@
+"""Parity against the ACTUAL reference kernels (not the oracle).
+
+These tests import the reference's pure-NumPy numerics from
+``/root/reference/pyloo`` (via ``tests/refloader.py``, which stubs the
+missing xarray/arviz imports) and assert near-bitwise (<= 1e-12 relative)
+agreement with this package's TPU kernels in float64 on CPU.
+
+Covers: ``_psislw`` (smoothed log weights + khat), ``_gpdfit``, ``_gpinv``,
+``_sislw``, ``_tislw`` (reference psis.py:114-231, sis.py:86-106,
+tis.py:91-120), and the survey estimators (estimators/difference.py,
+srs.py, hansen_hurwitz.py) — on random matrices spanning light and heavy
+tails plus the bundled centered_eight dataset.
+"""
+
+import numpy as np
+import pytest
+
+import pyloo_tpu as pl
+from pyloo_tpu.estimators import (
+    DifferenceEstimator,
+    HansenHurwitzEstimator,
+    SimpleRandomSamplingEstimator,
+)
+from pyloo_tpu.ops.psis import gpdfit, gpinv
+
+from .refloader import load_reference_module
+
+ref_psis = load_reference_module("psis")
+ref_sis = load_reference_module("sis")
+ref_tis = load_reference_module("tis")
+ref_diff = load_reference_module("estimators/difference")
+ref_hh = load_reference_module("estimators/hansen_hurwitz")
+ref_srs = load_reference_module("estimators/srs")
+
+ATOL = 1e-12
+RTOL = 1e-12
+
+
+def _reference_psislw(log_weights, reff=1.0):
+    """Row-wise reference PSIS exactly as reference psislw() drives _psislw
+    (psis.py:78-92): same cutoff index and cutoff floor."""
+    lw = np.asarray(log_weights, dtype=np.float64)
+    S = lw.shape[-1]
+    cutoff_ind = -int(np.ceil(min(S / 5.0, 3 * (S / reff) ** 0.5))) - 1
+    cutoffmin = np.log(np.finfo(float).tiny)
+    out_lw = np.empty_like(lw)
+    out_k = np.empty(lw.shape[:-1])
+    for i in range(lw.shape[0]):
+        out_lw[i], out_k[i] = ref_psis._psislw(
+            lw[i].copy(), cutoff_ind=cutoff_ind, cutoffmin=cutoffmin
+        )
+    return out_lw, out_k
+
+
+def _weight_cases(rng):
+    """Log-weight matrices spanning light, moderate, and heavy tails."""
+    return {
+        "normal": rng.normal(size=(40, 1000)),
+        "scaled_normal": 2.5 * rng.normal(size=(40, 1000)) - 3.0,
+        "student_t3": rng.standard_t(3, size=(32, 1200)),
+        "cauchy_tail": rng.standard_cauchy(size=(24, 800)) * 0.5,
+        "small_s": rng.normal(size=(16, 120)),
+    }
+
+
+class TestPsislwParity:
+    @pytest.mark.parametrize(
+        "case", ["normal", "scaled_normal", "student_t3", "cauchy_tail", "small_s"]
+    )
+    @pytest.mark.parametrize("reff", [1.0, 0.7, 2.0])
+    def test_random_matrices(self, rng, case, reff):
+        lw_in = _weight_cases(rng)[case]
+        ref_lw, ref_k = _reference_psislw(lw_in, reff=reff)
+        got_lw, got_k = pl.psislw(lw_in, reff=reff)
+        got_lw, got_k = np.asarray(got_lw), np.asarray(got_k)
+        np.testing.assert_allclose(got_k, ref_k, rtol=RTOL, atol=ATOL)
+        np.testing.assert_allclose(got_lw, ref_lw, rtol=RTOL, atol=ATOL)
+
+    def test_centered_eight(self):
+        # The bundled draws contain MCMC rejection duplicates (tied rows of the
+        # log-likelihood).  The reference assigns plotting positions to tied
+        # tail values in np.argsort's UNSTABLE quicksort order, which no rule
+        # can replicate; tied elements are identical inputs, so any consistent
+        # assignment is equivalent.  We use stable-ascending order and assert
+        # the well-defined properties: khat parity, per-element parity on all
+        # untied draws, and exact multiset parity of the smoothed weights.
+        idata = pl.load_example_data("centered_eight")
+        ll = idata.log_likelihood["obs"].stack(__sample__=("chain", "draw"))
+        lw_in = -np.asarray(ll.values, dtype=np.float64)
+        for reff in (1.0, 0.82):
+            ref_lw, ref_k = _reference_psislw(lw_in, reff=reff)
+            got_lw, got_k = pl.psislw(lw_in, reff=reff)
+            got_lw = np.asarray(got_lw)
+            np.testing.assert_allclose(np.asarray(got_k), ref_k, rtol=RTOL, atol=ATOL)
+            np.testing.assert_allclose(
+                np.sort(got_lw, axis=1), np.sort(ref_lw, axis=1), rtol=RTOL, atol=1e-13
+            )
+            for i in range(lw_in.shape[0]):
+                vals, counts = np.unique(lw_in[i], return_counts=True)
+                untied = ~np.isin(lw_in[i], vals[counts > 1])
+                assert untied.mean() > 0.5  # the comparison must have teeth
+                np.testing.assert_allclose(
+                    got_lw[i, untied], ref_lw[i, untied], rtol=RTOL, atol=1e-13
+                )
+
+    def test_tied_tail_values_stable_ascending(self, rng):
+        # Codify our tie semantics: within a run of tied tail values the
+        # element at the LOWER original index gets the LOWER plotting
+        # position, exactly what the reference would produce with a stable
+        # ascending sort.  Verify against the reference run with its unstable
+        # argsort on an input where ties sit in sorted order already (then
+        # quicksort's permutation is identity and the orders coincide).
+        S = 400
+        base = np.sort(rng.normal(size=S))  # ascending -> argsort is identity
+        dup = base.copy()
+        dup[-20:-10] = dup[-10]  # a tied run inside the tail, in order
+        lw_in = dup[None, :]
+        ref_lw, ref_k = _reference_psislw(lw_in)
+        got_lw, got_k = pl.psislw(lw_in)
+        np.testing.assert_allclose(np.asarray(got_k), ref_k, rtol=RTOL, atol=ATOL)
+        np.testing.assert_allclose(np.asarray(got_lw), ref_lw, rtol=RTOL, atol=1e-13)
+
+    def test_short_tail_inf_k(self, rng):
+        # S small enough that the tail has <= 4 members -> k = inf both sides
+        lw_in = rng.normal(size=(6, 12))
+        ref_lw, ref_k = _reference_psislw(lw_in)
+        got_lw, got_k = pl.psislw(lw_in)
+        assert np.all(np.isinf(ref_k)) and np.all(np.isinf(np.asarray(got_k)))
+        np.testing.assert_allclose(np.asarray(got_lw), ref_lw, rtol=RTOL, atol=ATOL)
+
+
+class TestGpdfitParity:
+    @pytest.mark.parametrize("n", [5, 17, 50, 191, 500])
+    @pytest.mark.parametrize("gen", ["exponential", "pareto", "lognormal"])
+    def test_random_exceedances(self, rng, n, gen):
+        z = {
+            "exponential": rng.exponential(2.0, size=n),
+            "pareto": rng.pareto(2.5, size=n) + 1e-3,
+            "lognormal": rng.lognormal(0.0, 1.5, size=n),
+        }[gen]
+        z = np.sort(z)
+        ref_k, ref_sigma = ref_psis._gpdfit(z)
+        got_k, got_sigma = gpdfit(z)
+        np.testing.assert_allclose(float(got_k), ref_k, rtol=1e-10, atol=1e-12)
+        np.testing.assert_allclose(float(got_sigma), ref_sigma, rtol=1e-10, atol=1e-12)
+
+
+class TestGpinvParity:
+    @pytest.mark.parametrize("kappa", [-0.7, -1e-20, 0.0, 1e-20, 0.3, 1.2])
+    @pytest.mark.parametrize("sigma", [0.5, 2.0])
+    def test_interior_and_edges(self, kappa, sigma):
+        probs = np.array([0.0, 1e-8, 0.25, 0.5, 0.999, 1.0])
+        ref = ref_psis._gpinv(probs.copy(), kappa, sigma)
+        got = np.asarray(gpinv(probs, kappa, sigma))
+        np.testing.assert_allclose(got, ref, rtol=1e-12, atol=1e-15)
+
+    def test_nonpositive_sigma_poisons(self):
+        probs = np.array([0.1, 0.5, 0.9])
+        ref = ref_psis._gpinv(probs.copy(), 0.3, -1.0)
+        got = np.asarray(gpinv(probs, 0.3, -1.0))
+        assert np.all(np.isnan(ref)) and np.all(np.isnan(got))
+
+
+class TestSisTisParity:
+    def test_sis(self, rng):
+        lw_in = rng.standard_t(3, size=(30, 700))
+        got_lw, got_ess = pl.sislw(lw_in)
+        for i in range(lw_in.shape[0]):
+            ref_lw, ref_ess = ref_sis._sislw(lw_in[i].copy())
+            np.testing.assert_allclose(
+                np.asarray(got_lw)[i], ref_lw, rtol=RTOL, atol=ATOL
+            )
+            np.testing.assert_allclose(
+                float(np.asarray(got_ess)[i]), ref_ess, rtol=RTOL, atol=ATOL
+            )
+
+    def test_tis(self, rng):
+        lw_in = rng.standard_t(3, size=(30, 700))
+        got_lw, got_ess = pl.tislw(lw_in)
+        for i in range(lw_in.shape[0]):
+            ref_lw, ref_ess = ref_tis._tislw(lw_in[i].copy(), lw_in.shape[1])
+            np.testing.assert_allclose(
+                np.asarray(got_lw)[i], ref_lw, rtol=RTOL, atol=ATOL
+            )
+            np.testing.assert_allclose(
+                float(np.asarray(got_ess)[i]), ref_ess, rtol=RTOL, atol=ATOL
+            )
+
+
+class TestEstimatorParity:
+    def test_srs(self, rng):
+        y = rng.normal(-3.0, 1.2, size=120)
+        ref = ref_srs.srs_estimate(y=y, N=5000)
+        got = SimpleRandomSamplingEstimator().estimate(y=y, N=5000)
+        np.testing.assert_allclose(got.y_hat, ref.y_hat, rtol=RTOL)
+        np.testing.assert_allclose(got.v_y_hat, ref.v_y_hat, rtol=RTOL)
+        np.testing.assert_allclose(got.hat_v_y, ref.hat_v_y, rtol=RTOL)
+
+    def test_diff_srs(self, rng):
+        N, m = 800, 90
+        y_approx = rng.normal(-2.0, 1.0, size=N)
+        idx = rng.choice(N, size=m, replace=False)
+        y = y_approx[idx] + rng.normal(0.0, 0.1, size=m)
+        ref = ref_diff.diff_srs_estimate(
+            elpd_loo_i=y, elpd_loo_approximation=y_approx, sample_indices=idx
+        )
+        got = DifferenceEstimator().estimate(y_approx=y_approx, y=y, y_idx=idx)
+        np.testing.assert_allclose(got.y_hat, ref.y_hat, rtol=RTOL)
+        np.testing.assert_allclose(got.v_y_hat, ref.v_y_hat, rtol=RTOL)
+        np.testing.assert_allclose(got.hat_v_y, ref.hat_v_y, rtol=RTOL)
+
+    def test_hansen_hurwitz_normalized_sample(self, rng):
+        # Our HH estimator intentionally skips the reference's z-renormalization
+        # over the sample (a documented reference bug for partial samples).
+        # When z already sums to 1 over the sample the renormalization is a
+        # no-op, so the two implementations must agree exactly there.
+        m = 60
+        z = rng.uniform(0.5, 2.0, size=m)
+        z = z / z.sum()
+        m_i = rng.integers(1, 4, size=m)
+        y = rng.normal(-2.0, 1.0, size=m)
+        ref = ref_hh.hansen_hurwitz_estimate(z=z, m_i=m_i, y=y, N=m)
+        got = HansenHurwitzEstimator().estimate(z=z, m_i=m_i, y=y, N=m)
+        np.testing.assert_allclose(got.y_hat, ref.y_hat, rtol=RTOL)
+        np.testing.assert_allclose(got.v_y_hat, ref.v_y_hat, rtol=RTOL)
+        np.testing.assert_allclose(got.hat_v_y, ref.hat_v_y, rtol=RTOL)
+
+    def test_compute_sampling_probabilities(self, rng):
+        elpd_approx = rng.normal(-4.0, 2.0, size=300)
+        from pyloo_tpu.estimators import compute_sampling_probabilities
+
+        ref = ref_hh.compute_sampling_probabilities(elpd_approx.copy())
+        got = compute_sampling_probabilities(elpd_approx)
+        np.testing.assert_allclose(got, ref, rtol=RTOL, atol=ATOL)

@@ -182,6 +182,7 @@ def loo_subsample(
             estimator=est_method.value,
             elpd_loo_approximation=elpd_loo_approx,
             observations=int(observations),
+            rng=np.random.default_rng(seed) if seed is not None else None,
         )
 
     matrix, _, _ = as_sample_matrix(log_likelihood)  # (N, S)

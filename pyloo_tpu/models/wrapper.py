@@ -19,7 +19,7 @@ import numpy as np
 from ..containers import DataArray, Dataset, InferenceData
 from .hmc import sample_hmc
 
-__all__ = ["Model", "fit", "JAXModelWrapper"]
+__all__ = ["Model", "fit", "idata_from_flat_draws", "JAXModelWrapper"]
 
 
 @dataclass(frozen=True)
@@ -154,6 +154,29 @@ def fit(
         raise ValueError(
             f"Unknown algorithm {algorithm!r}; use 'hmc' or 'chees'"
         )  # (C, T, D)
+    return idata_from_flat_draws(
+        model,
+        draws_flat,
+        accept=accept,
+        compute_log_likelihood=compute_log_likelihood,
+    )
+
+
+def idata_from_flat_draws(
+    model: Model,
+    draws_flat,
+    *,
+    accept: float = 1.0,
+    compute_log_likelihood: bool = True,
+) -> InferenceData:
+    """Assemble an :class:`InferenceData` from flat unconstrained draws.
+
+    ``draws_flat`` is ``(chains, draws, flat_dim)`` in the model's flat
+    parameter order.  Shared by :func:`fit` and by exact samplers (e.g. the
+    grid-exact eight-schools generator in ``scripts/make_example_data.py``)
+    so every posterior source produces the same group contract.
+    """
+    draws_flat = np.asarray(draws_flat)
     C, T, D = draws_flat.shape
 
     unravel_v = jax.vmap(jax.vmap(model.unravel))
@@ -195,7 +218,7 @@ def fit(
                     ),
                     name=k,
                 )
-                for k, v in data.items()
+                for k, v in model.data.items()
                 if k in model.obs_keys
             }
         ),

@@ -123,23 +123,30 @@ def loo_scores_psis_fast(log_lik, tail_max: int):
     smooth_ok = (n_tail > 4) & jnp.isfinite(k) & (sign_sigma > 0)
     s_vals = jnp.where(smooth_ok[:, None], smoothed, tail_vals)
 
-    # row reductions: total exp mass, tail raw mass, tail smoothed mass
-    sum_exp_all = jnp.sum(jnp.exp(x), axis=1)
-    sum_exp_tail_raw = jnp.sum(
-        jnp.where(slot_valid, jnp.exp(tail_vals), 0.0), axis=1
+    # Row reductions, all in log domain.  Two pitfalls make the "obvious"
+    # exp-space forms wrong (caught by TestFastPathAdversarial):
+    #   * sum(exp(x)) - sum(exp(tail)) cancels catastrophically when the tail
+    #     carries ~all of the exp mass (heavy-tail rows): the fp noise floor
+    #     eps*sum replaces the true non-tail mass and shifts elpd by nats.
+    #     The non-tail mass is summed directly under the x <= xcutoff mask
+    #     (exactly complementary to the strict > tail membership).
+    #   * exp(s - x) overflows float32 whenever the cutoff sits below
+    #     ~-88, so the tail ratio sum runs as a max-shifted logsumexp.
+    nontail_mask = x <= xcutoff[:, None]
+    m1 = jnp.max(jnp.where(nontail_mask, x, -jnp.inf), axis=1)
+    m1s = jnp.where(jnp.isfinite(m1), m1, 0.0)
+    log_ntl = m1s + jnp.log(
+        jnp.sum(jnp.where(nontail_mask, jnp.exp(x - m1s[:, None]), 0.0), axis=1)
     )
-    sum_nontail = jnp.maximum(sum_exp_all - sum_exp_tail_raw, 0.0)
-    sum_exp_tail_s = jnp.sum(
-        jnp.where(slot_valid, jnp.exp(s_vals), 0.0), axis=1
-    )
-    denom = jnp.log(sum_nontail + sum_exp_tail_s)
+    lse_s = logsumexp(jnp.where(slot_valid, s_vals, -jnp.inf), axis=1)
+    denom = jnp.logaddexp(log_ntl, lse_s)
 
-    elpd_terms = jnp.where(slot_valid, jnp.exp(s_vals - tail_vals), 0.0)
-    elpd_i = (
-        -C[:, 0]
-        + jnp.log((S - nf) + jnp.sum(elpd_terms, axis=1))
-        - denom
-    )
+    d = jnp.where(slot_valid, s_vals - tail_vals, -jnp.inf)
+    dm = jnp.max(d, axis=1)
+    dms = jnp.where(jnp.isfinite(dm), dm, 0.0)
+    lse_d = dms + jnp.log(jnp.sum(jnp.exp(d - dms[:, None]), axis=1))
+    numer = jnp.logaddexp(jnp.log(S - nf), lse_d)
+    elpd_i = -C[:, 0] + numer - denom
 
     lppd_i = logsumexp(log_lik, axis=1, b_inv=S)
     khat = jnp.where(n_tail <= 4, jnp.inf, k)

@@ -222,3 +222,143 @@ def test_bench_scale_parity(rng, n_draws):
     want_lw, want_k = psis_matrix(lw)
     assert_allclose(np.asarray(got_lw), want_lw, rtol=1e-8, atol=1e-8)
     assert_allclose(np.asarray(got_k), want_k, rtol=1e-8, atol=1e-8)
+
+
+class TestFastPathAdversarial:
+    """Fast-vs-exact agreement on the inputs that break naive f32 kernels.
+
+    The float32 throughput path documents one semantic divergence (rows whose
+    GPD fit degenerates to sigma <= 0 keep the unsmoothed tail instead of the
+    reference's NaN poisoning); everywhere else it must track the float64
+    exact path within float32 conditioning.  Reference gpinv semantics:
+    ``pyloo/psis.py:211-231``.
+    """
+
+    @staticmethod
+    def _both(ll64):
+        import jax.numpy as jnp
+
+        from pyloo_tpu.ops.loo_kernels import (
+            loo_scores_psis,
+            loo_scores_psis_fast,
+        )
+
+        m = tail_length(ll64.shape[1], 1.0)
+        e, k, l = loo_scores_psis(jnp.asarray(ll64, jnp.float64), m)
+        ef, kf, lf = loo_scores_psis_fast(
+            jnp.asarray(ll64, jnp.float32), m
+        )
+        return (
+            np.asarray(e),
+            np.asarray(k),
+            np.asarray(l),
+            np.asarray(ef, dtype=np.float64),
+            np.asarray(kf, dtype=np.float64),
+            np.asarray(lf, dtype=np.float64),
+        )
+
+    @staticmethod
+    def _fast_equals_exact_f64(ll64):
+        """In float64 the fast kernel must reproduce the exact kernel."""
+        import jax.numpy as jnp
+
+        from pyloo_tpu.ops.loo_kernels import (
+            loo_scores_psis,
+            loo_scores_psis_fast,
+        )
+
+        m = tail_length(ll64.shape[1], 1.0)
+        e, k, l = loo_scores_psis(jnp.asarray(ll64, jnp.float64), m)
+        ef, kf, lf = loo_scores_psis_fast(jnp.asarray(ll64, jnp.float64), m)
+        finite = np.isfinite(np.asarray(k))
+        assert_allclose(
+            np.asarray(ef)[finite],
+            np.asarray(e)[finite],
+            rtol=1e-10,
+            atol=1e-12,
+        )
+        assert_allclose(
+            np.asarray(kf)[finite],
+            np.asarray(k)[finite],
+            rtol=1e-10,
+            atol=1e-12,
+        )
+        assert np.array_equal(
+            np.isinf(np.asarray(kf)), np.isinf(np.asarray(k))
+        )
+        assert_allclose(np.asarray(lf), np.asarray(l), rtol=1e-12)
+
+    def test_heavy_tails(self, rng):
+        # log-ratios with k ~ 0.7-1.2: importance weights from a Cauchy-ish
+        # proposal mismatch; exactly the regime PSIS exists for
+        z = rng.standard_t(df=2, size=(64, 2000))
+        ll = -np.abs(z) * 3.0
+        self._fast_equals_exact_f64(ll)
+        e, k, l, ef, kf, lf = self._both(ll)
+        assert_allclose(ef, e, rtol=5e-4, atol=5e-4)
+        assert_allclose(kf, k, atol=5e-3)
+
+    def test_near_degenerate_tail(self, rng):
+        # tail values nearly identical: sigma -> 0 fit degeneracy candidate
+        ll = rng.normal(0, 1e-6, size=(32, 1000))
+        ll[:, :300] += rng.normal(0, 1e-4, size=(32, 300))
+        self._fast_equals_exact_f64(ll)
+
+    def test_constant_rows(self):
+        ll = np.full((8, 500), -1.3)
+        e, k, l, ef, kf, lf = self._both(ll)
+        assert np.all(np.isinf(k)) and np.all(np.isinf(kf))
+        assert_allclose(ef, e, rtol=1e-6)
+        assert_allclose(lf, l, rtol=1e-6)
+
+    def test_single_outlier_rows(self, rng):
+        # one dominating draw: tail has <= 4 distinct exceedances -> k = inf
+        ll = rng.normal(-1, 0.1, size=(16, 800))
+        ll[:, 0] = 40.0
+        e, k, l, ef, kf, lf = self._both(ll)
+        assert np.array_equal(np.isinf(k), np.isinf(kf))
+        assert_allclose(ef, e, rtol=1e-3, atol=1e-3)
+
+    def test_huge_dynamic_range(self, rng):
+        # raw weights spanning e^300: breaks any non-log-domain f32 fit
+        ll = rng.normal(0, 1, size=(32, 1500)) * 100.0
+        self._fast_equals_exact_f64(ll)
+        e, k, l, ef, kf, lf = self._both(ll)
+        assert np.all(np.isfinite(ef))
+        assert_allclose(kf, k, atol=2e-2)
+
+    def test_tie_heavy_rows(self, rng):
+        # quantized log-lik: many exact ties around the cutoff (strict-> ties
+        # excluded from the tail, reference psis.py:139)
+        ll = np.round(rng.normal(-1, 0.5, size=(24, 1000)) * 8) / 8.0
+        self._fast_equals_exact_f64(ll)
+        e, k, l, ef, kf, lf = self._both(ll)
+        assert_allclose(ef, e, rtol=1e-3, atol=1e-3)
+        assert np.array_equal(np.isinf(k), np.isinf(kf))
+
+    def test_nan_rows_via_loo(self, rng):
+        # NaNs are replaced upstream (-1e10 + warning, reference loo.py:218)
+        import pyloo_tpu as pl
+
+        ll = rng.normal(-1, 0.5, size=(2, 400, 30))
+        ll[0, 5, 3] = np.nan
+        idata = pl.from_dict(
+            posterior={"mu": rng.normal(size=(2, 400))},
+            log_likelihood={"obs": ll},
+        )
+        pl.rcParams["device.precision"] = "float32"
+        try:
+            with pytest.warns(UserWarning, match="NaN"):
+                r32 = pl.loo(idata, pointwise=True, reff=1.0)
+        finally:
+            pl.rcParams["device.precision"] = "float64"
+        assert np.isfinite(r32["elpd_loo"])
+
+    def test_mixed_scales_across_rows(self, rng):
+        ll = rng.normal(-1, 0.5, size=(40, 1200))
+        ll[::3] *= 50.0
+        ll[1::3] *= 1e-3
+        self._fast_equals_exact_f64(ll)
+        e, k, l, ef, kf, lf = self._both(ll)
+        finite = np.isfinite(k)
+        assert_allclose(kf[finite], k[finite], atol=2e-2)

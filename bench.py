@@ -44,6 +44,59 @@ N_RESIDENT = 2  # device-resident base chunks (4 GB of 16 GB HBM)
 REFERENCE_OBS_PER_SEC = 1.0e4  # SURVEY.md §6: 1e3-1e4 rows/s; generous end
 
 
+def bench_streaming_api(dev):
+    """End-to-end public API at 1M x 4000: loo_streaming over a synthetic
+    on-device logistic-regression posterior (the product path, not the
+    kernel)."""
+    from pyloo_tpu.streaming import loo_streaming
+
+    n_feat = 32
+    key = jax.random.PRNGKey(7)
+    beta = 0.3 * jax.random.normal(key, (N_DRAWS, n_feat), jnp.float32)
+    kx, ky = jax.random.split(key)
+    xw = jax.random.normal(kx, (TOTAL_OBS, n_feat), jnp.float32) * 0.5
+    yw = (jax.random.uniform(ky, (TOTAL_OBS,)) < 0.5).astype(jnp.float32)
+    _ = float(beta[0, 0]) + float(xw[0, 0])  # materialize
+
+    def log_lik_fn(idx):
+        x = xw[idx]  # (chunk, n_feat)
+        eta = x @ beta.T  # (chunk, n_draws)
+        y = yw[idx][:, None]
+        return y * eta - jnp.logaddexp(0.0, eta)
+
+    # warm compile (loop program + user generator)
+    r = loo_streaming(log_lik_fn, TOTAL_OBS, N_DRAWS, dtype=jnp.float32)
+    t0 = time.perf_counter()
+    r = loo_streaming(log_lik_fn, TOTAL_OBS, N_DRAWS, dtype=jnp.float32)
+    wall = time.perf_counter() - t0
+    return wall, float(r["elpd_loo"])
+
+
+def bench_exact_f64(base):
+    """Exact float64 PSIS path (selection + scatter parity kernel)."""
+    from pyloo_tpu.ops.loo_kernels import loo_scores_psis
+
+    m_tail = tail_length(N_DRAWS, 1.0)
+    half = CHUNK // 2  # 2 GB f64 chunks
+
+    @jax.jit
+    def smooth64(chunk, salt):
+        e, k, l = loo_scores_psis(
+            -(chunk[:half].astype(jnp.float64) + salt), m_tail
+        )
+        return jnp.sum(e)
+
+    zero = jnp.float64(0.0)
+    _ = float(smooth64(base[0], zero))
+    n_iters = TOTAL_OBS // half
+    t0 = time.perf_counter()
+    acc = jnp.zeros((), jnp.float64)
+    for i in range(n_iters):
+        acc = acc + smooth64(base[i % N_RESIDENT], jnp.float64(i) * 1e-6)
+    _ = float(acc)
+    return time.perf_counter() - t0
+
+
 def main():
     dev = jax.devices()[0]
     m_tail = tail_length(N_DRAWS, 1.0)
@@ -81,6 +134,10 @@ def main():
     mean_khat = float(ksum) / TOTAL_OBS
 
     obs_per_sec = TOTAL_OBS / wall
+
+    api_wall, api_elpd = bench_streaming_api(dev)
+    f64_wall = bench_exact_f64(base)
+
     result = {
         "metric": "psis_obs_per_sec_4k_draws",
         "value": round(obs_per_sec, 1),
@@ -93,6 +150,11 @@ def main():
             "device": str(dev),
             "dtype": "float32",
             "mean_khat": round(mean_khat, 4),
+            "api_loo_streaming_1m_wall_s": round(api_wall, 3),
+            "api_loo_streaming_1m_obs_per_sec": round(TOTAL_OBS / api_wall, 1),
+            "api_loo_streaming_elpd": round(api_elpd, 1),
+            "exact_f64_wall_s": round(f64_wall, 3),
+            "exact_f64_obs_per_sec": round(TOTAL_OBS / f64_wall, 1),
         },
     }
     print(json.dumps(result))

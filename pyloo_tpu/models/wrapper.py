@@ -313,10 +313,20 @@ class JAXModelWrapper:
 
     # -- refitting ----------------------------------------------------------
     def sample_posterior(self, **kwargs) -> InferenceData:
+        """Refit the model's posterior on its current data.
+
+        A ``sampler`` entry in ``sample_kwargs`` (or ``kwargs``) supplies a
+        custom sample function ``sampler(model, **opts) -> InferenceData`` —
+        e.g. an exact conjugate sampler or an external MCMC engine — and is
+        inherited by refit workflows (k-fold folds, reloo) because they
+        propagate ``sample_kwargs`` to the per-fold wrappers.
+        """
         opts = dict(self.sample_kwargs)
         opts.update(kwargs)
-        idata = fit(self.model, **opts)
-        return idata
+        sampler = opts.pop("sampler", None)
+        if sampler is not None:
+            return sampler(self.model, **opts)
+        return fit(self.model, **opts)
 
     def log_likelihood_i(self, holdout_data, idata: InferenceData):
         """Log-lik of held-out observation(s) under a refitted posterior.

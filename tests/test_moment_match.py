@@ -233,3 +233,74 @@ class TestUpdateQuantities:
         )
         assert_allclose(q["ki"], float(np.asarray(k_ref)), rtol=1e-9)
         assert_allclose(np.asarray(q["lwi"]), np.asarray(lw_ref), atol=1e-9)
+
+
+class TestWrapperEqualsCustomFunctions:
+    """The wrapper path and the 5-callable path must agree exactly when the
+    callables implement the same model math (reference
+    ``test_loo_moment_match.py:929`` asserts this at rtol 1e-6).
+
+    Uses a single-chain fit: with 1-D log-lik the custom path sets
+    ``r_eff_i = 1.0`` (reference ``loo_moment_match.py:371-372``), which only
+    matches the wrapper path's chain-aware estimate when n_chains == 1 —
+    the same implicit condition under which the reference's own equality
+    test is exact.
+    """
+
+    @pytest.fixture(scope="class")
+    def fitted1(self):
+        model = make_outlier_model()
+        idata = fit(model, draws=800, tune=500, chains=1, seed=7)
+        wrapper = pl.JAXModelWrapper(model, idata)
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            orig = pl.loo(idata, pointwise=True, reff=1.0)
+        return model, idata, wrapper, orig
+
+    @staticmethod
+    def _custom_fns(wrapper):
+        """Custom callables built from the wrapper's own machinery, mirroring
+        the reference test's construction — so any disagreement is a bug in
+        the dual-interface plumbing, not fp noise from a reimplementation."""
+        from pyloo_tpu.helpers import (
+            extract_log_likelihood_for_observation,
+            log_lik_i_upars,
+            log_prob_upars,
+        )
+
+        umat = wrapper.get_unconstrained_parameters()  # (S, P)
+
+        return dict(
+            post_draws=lambda m, **kw: umat,
+            log_lik_i=lambda m, i, **kw: log_lik_i_upars(wrapper, umat)[:, i],
+            unconstrain_pars=lambda m, pars, **kw: umat,
+            log_prob_upars_fn=lambda m, upars, **kw: log_prob_upars(
+                wrapper, upars
+            ),
+            log_lik_i_upars_fn=lambda m, upars, i, **kw: (
+                extract_log_likelihood_for_observation(
+                    log_lik_i_upars(wrapper, upars), i
+                )
+            ),
+        )
+
+    @pytest.mark.parametrize("split", [False, True])
+    def test_paths_agree(self, fitted1, split):
+        model, idata, wrapper, orig = fitted1
+        fns = self._custom_fns(wrapper)
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            mm_w = pl.loo_moment_match(
+                wrapper, orig, split=split, cov=True
+            )
+            mm_c = pl.loo_moment_match(
+                object(), orig, split=split, cov=True, **fns
+            )
+        assert_allclose(mm_w["elpd_loo"], mm_c["elpd_loo"], rtol=1e-6)
+        assert_allclose(mm_w["p_loo"], mm_c["p_loo"], rtol=1e-6, atol=1e-8)
+        assert_allclose(
+            mm_w.pareto_k.values, mm_c.pareto_k.values, rtol=1e-6, atol=1e-8
+        )
+        assert_allclose(
+            mm_w.loo_i.values, mm_c.loo_i.values, rtol=1e-6, atol=1e-8
+        )

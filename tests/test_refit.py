@@ -216,3 +216,103 @@ class TestKfoldInCompare:
         assert "elpd_kfold" in df.columns
         assert set(df.index) == {"m1", "m2"}
         assert np.isfinite(df["elpd_kfold"]).all()
+
+
+def _conjugate_normal_model(y, prior_sd=10.0):
+    """y_i ~ N(mu, 1), mu ~ N(0, prior_sd^2): fully conjugate, analytic LOO."""
+
+    def logp(params, data):
+        mu = params["mu"]
+        lp = -0.5 * (mu / prior_sd) ** 2
+        return lp + jnp.sum(-0.5 * jnp.log(2 * jnp.pi) - 0.5 * (data["y"] - mu) ** 2)
+
+    def log_lik(params, data):
+        return -0.5 * jnp.log(2 * jnp.pi) - 0.5 * (data["y"] - params["mu"]) ** 2
+
+    return Model(
+        name="conjugate_normal",
+        data={"y": np.asarray(y, dtype=float)},
+        param_shapes={"mu": ()},
+        logp=logp,
+        log_lik=log_lik,
+        obs_keys=("y",),
+    )
+
+
+def _exact_conjugate_sampler(model, draws=4000, chains=2, seed=0, prior_sd=10.0, **_):
+    """Exact i.i.d. posterior draws for the conjugate normal model."""
+    from pyloo_tpu.models.wrapper import idata_from_flat_draws
+
+    y = np.asarray(model.data["y"])
+    prec = 1.0 / prior_sd**2 + len(y)
+    mean = y.sum() / prec
+    rng = np.random.default_rng(seed)
+    mu = mean + rng.standard_normal((chains, draws)) / np.sqrt(prec)
+    return idata_from_flat_draws(model, mu[..., None])
+
+
+def _analytic_loo_i(y, prior_sd=10.0):
+    """Closed-form log p(y_i | y_{-i}): Gaussian posterior predictive."""
+    y = np.asarray(y, dtype=float)
+    out = np.empty_like(y)
+    for i in range(len(y)):
+        rest = np.delete(y, i)
+        prec = 1.0 / prior_sd**2 + len(rest)
+        mean = rest.sum() / prec
+        var = 1.0 + 1.0 / prec
+        out[i] = -0.5 * np.log(2 * np.pi * var) - 0.5 * (y[i] - mean) ** 2 / var
+    return out
+
+
+class TestKfoldExactConjugate:
+    """K=N exact CV against the closed-form LOO predictive density.
+
+    With exact conjugate refits per fold, the only error is the logmeanexp
+    Monte Carlo noise (~0.01 per obs at S=8000), so this pins the whole fold
+    pipeline (assignment, refit, held-out log-lik, elpd) far tighter than the
+    reference's 50%-relative kfold-vs-loo check
+    (``pyloo/tests/base_tests/test_loo_kfold.py:38-57``).
+    """
+
+    @pytest.fixture(scope="class")
+    def setup(self):
+        rng = np.random.default_rng(5)
+        y = rng.normal(0.5, 1.0, size=20)
+        model = _conjugate_normal_model(y)
+        idata = _exact_conjugate_sampler(model, seed=123)
+        wrapper = pl.JAXModelWrapper(
+            model, idata,
+            sample_kwargs=dict(sampler=_exact_conjugate_sampler, seed=321),
+        )
+        return y, wrapper
+
+    def test_kfold_K_eq_N_matches_analytic(self, setup):
+        y, wrapper = setup
+        analytic = _analytic_loo_i(y)
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            res = pl.loo_kfold(
+                wrapper, K=len(y), random_seed=1, pointwise=True
+            )
+        assert res["K"] == len(y)
+        assert_allclose(res.kfold_i.values, analytic, atol=0.05)
+        assert abs(res["elpd_kfold"] - analytic.sum()) < 0.15
+
+    def test_psis_loo_matches_analytic(self, setup):
+        y, wrapper = setup
+        analytic = _analytic_loo_i(y)
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            res = pl.loo(wrapper.idata, pointwise=True, reff=1.0)
+        assert_allclose(res.loo_i.values, analytic, atol=0.05)
+        assert abs(res["elpd_loo"] - analytic.sum()) < 0.15
+
+    def test_kfold_K_eq_N_matches_psis_loo(self, setup):
+        """The replacement for the old 3.0-elpd ballpark assert: with shared
+        exact draws, K=N CV and PSIS-LOO agree to a fraction of a nat."""
+        y, wrapper = setup
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            kf = pl.loo_kfold(wrapper, K=len(y), random_seed=1)
+            lo = pl.loo(wrapper.idata, reff=1.0)
+        assert abs(kf["elpd_kfold"] - lo["elpd_loo"]) < 0.2

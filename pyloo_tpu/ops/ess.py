@@ -15,7 +15,7 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["ess_mean", "relative_eff"]
+__all__ = ["ess_mean", "relative_eff", "rhat"]
 
 
 def _autocovariance(ary: np.ndarray) -> np.ndarray:
@@ -122,3 +122,23 @@ def relative_eff(posterior_vars: dict[str, np.ndarray], n_samples: int) -> float
     if not all_ess:
         return 1.0
     return float(np.hstack(all_ess).mean() / n_samples)
+
+
+def rhat(ary: np.ndarray) -> float:
+    """Split-R-hat convergence diagnostic (Vehtari et al. 2021, eq. 3.1).
+
+    ``ary`` is (chain, draw) for one scalar parameter.  Chains are split in
+    half; R-hat compares between- and within-chain variance of the 2C
+    half-chains.  Values near 1.0 indicate convergence; > 1.01 is suspect.
+    """
+    ary = np.asarray(ary, dtype=np.float64)
+    if ary.ndim != 2:
+        raise ValueError(f"rhat expects (chain, draw), got shape {ary.shape}")
+    split = _split_chains(ary)  # (2C, N//2)
+    m, n = split.shape
+    chain_means = split.mean(axis=1)
+    chain_vars = split.var(axis=1, ddof=1)
+    between = n * np.var(chain_means, ddof=1)
+    within = chain_vars.mean()
+    var_plus = (n - 1) / n * within + between / n
+    return float(np.sqrt(var_plus / within))

@@ -304,3 +304,95 @@ class TestWrapperEqualsCustomFunctions:
         assert_allclose(
             mm_w.loo_i.values, mm_c.loo_i.values, rtol=1e-6, atol=1e-8
         )
+
+
+class TestExternalPPLIntegration:
+    """Moment matching driven purely through the five callables against a
+    third-party fit object (reference's CmdStan-ported example,
+    ``test_loo_moment_match.py:995-1097``): no wrapper, no pyloo_tpu model —
+    just arrays from an external PPL plus user-written density functions."""
+
+    class PoissonFit:
+        """Stands in for an external PPL's fit object (Poisson regression)."""
+
+        def __init__(self, n_samples=1000, n_obs=20, n_pred=3, seed=42):
+            rng = np.random.default_rng(seed)
+            self.x = rng.normal(0, 1, (n_obs, n_pred))
+            beta = rng.normal(0, 0.5, n_pred)
+            intercept = 0.5
+            self.y = rng.poisson(np.exp(self.x @ beta + intercept))
+            self.draws = np.column_stack([
+                rng.normal(intercept, 0.1, n_samples),
+                rng.normal(beta, 0.1, (n_samples, n_pred)),
+            ])  # (S, 1+K): [intercept, beta]
+            self.log_lik = self.log_lik_at(self.draws)  # (S, n_obs)
+
+        def log_lik_at(self, upars):
+            from scipy.special import gammaln
+
+            eta = upars[:, :1] + upars[:, 1:] @ self.x.T  # (S, n_obs)
+            return self.y * eta - np.exp(eta) - gammaln(self.y + 1.0)
+
+    def test_external_fit_object(self):
+        fit_obj = self.PoissonFit()
+        model_obj = {"fit": fit_obj}
+
+        def log_prob_upars_fn(m, upars, **kw):
+            # N(0, 10) priors on intercept and coefficients (likelihood part
+            # cancels in the ratios the transforms use; prior-only is the
+            # same simplification the reference example makes)
+            return np.sum(
+                -0.5 * (upars / 10.0) ** 2
+                - np.log(10.0)
+                - 0.5 * np.log(2 * np.pi),
+                axis=1,
+            )
+
+        fns = dict(
+            post_draws=lambda m, **kw: m["fit"].draws,
+            log_lik_i=lambda m, i, **kw: m["fit"].log_lik[:, i],
+            unconstrain_pars=lambda m, pars, **kw: pars,
+            log_prob_upars_fn=log_prob_upars_fn,
+            log_lik_i_upars_fn=lambda m, upars, i, **kw: (
+                m["fit"].log_lik_at(np.asarray(upars))[:, i]
+            ),
+        )
+
+        idata = pl.from_dict(
+            posterior={"p": fit_obj.draws.T[None, :, :].transpose(0, 2, 1)},
+            log_likelihood={
+                "obs": fit_obj.log_lik[None, :, :]
+            },
+        )
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            orig = pl.loo(idata, pointwise=True, reff=1.0)
+
+        # force moment matching on two observations (the reference example
+        # injects k = 0.8 / 0.9 into its mock loo data)
+        forced = orig.copy()
+        k_before = forced.pareto_k.values.copy()
+        k_before[0], k_before[1] = 0.8, 0.9
+        forced.pareto_k.values[...] = k_before
+
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            mm = pl.loo_moment_match(
+                model_obj, forced, max_iters=10, k_threshold=0.7,
+                split=True, cov=True, **fns
+            )
+        new_k = mm.pareto_k.values
+        assert np.any(k_before[[0, 1]] - new_k[[0, 1]] > 0), (
+            "no forced observation's Pareto k improved"
+        )
+        # the transforms re-estimate the two forced observations; with
+        # genuinely well-behaved draws the correction must stay small
+        # (the reference's >= assert holds only for its fabricated mock data)
+        assert np.isfinite(mm["elpd_loo"])
+        assert abs(mm["elpd_loo"] - orig["elpd_loo"]) < 0.5
+        untouched = np.arange(2, len(new_k))
+        assert_allclose(
+            mm.loo_i.values[untouched],
+            orig.loo_i.values[untouched],
+            rtol=1e-10,
+        )

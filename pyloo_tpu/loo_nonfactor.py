@@ -193,10 +193,33 @@ def loo_nonfactor(
                 " posterior. Please specify the correct variable name using"
                 " 'df_var_name'."
             )
-        df_s = draws_first(post_group[df_var_name]).reshape(S)
+        df_s = np.asarray(draws_first(post_group[df_var_name]).reshape(S))
+        bad_df = df_s <= 0
+        if bad_df.any():
+            # reference semantics (loo_nonfactor.py:508-516): warn and give
+            # those draws -inf log-likelihood (zero weight downstream)
+            warnings.warn(
+                f"Non-positive degrees of freedom for {int(bad_df.sum())}"
+                " draws. Setting their log-likelihood to -inf.",
+                UserWarning,
+                stacklevel=2,
+            )
+            df_s = np.where(bad_df, 1.0, df_s)
         ll = np.asarray(
             mvt_conditional_loglik(y_vals, mu_s, df_s, **kwargs)
         )
+        if bad_df.any():
+            # exclude the invalid draws entirely: keeping them at -inf (the
+            # reference's stance) poisons every row's importance weights,
+            # while a posterior draw that cannot produce a likelihood
+            # carries no usable information
+            ll = ll[~bad_df]
+            S = ll.shape[0]
+            if S < 2:
+                raise ValueError(
+                    "All posterior draws have non-positive degrees of"
+                    " freedom; cannot compute LOO."
+                )
 
     ll = ll.T  # (N, S)
     if np.any(np.isnan(ll)) or np.any(np.isneginf(ll)):

@@ -192,3 +192,161 @@ class TestLooNonfactor:
                 )
             with pytest.raises(ValueError, match="model_type"):
                 pl.loo_nonfactor(idata, model_type="gamma", reff=1.0)
+
+
+class TestNonfactorOptions:
+    """Option/validation parity with the reference's nonfactor test battery
+    (``pyloo/tests/base_tests/test_loo_nonfactor.py``)."""
+
+    @staticmethod
+    def _quiet(fn, *a, **kw):
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            return fn(*a, **kw)
+
+    def test_precision_input_equals_cov_input(self, mvn_idata):
+        idata, y, mus, covs = mvn_idata
+        precs = np.linalg.inv(covs)
+        idata_p = pl.from_dict(
+            posterior={"mu": mus, "prec": precs},
+            observed_data={"y": y},
+        )
+        r_cov = self._quiet(pl.loo_nonfactor, idata, pointwise=True, reff=1.0)
+        r_prec = self._quiet(
+            pl.loo_nonfactor, idata_p, pointwise=True, reff=1.0
+        )
+        assert_allclose(r_prec["elpd_loo"], r_cov["elpd_loo"], rtol=1e-8)
+        assert_allclose(
+            r_prec.loo_i.values, r_cov.loo_i.values, rtol=1e-7
+        )
+
+    def test_custom_var_names(self, mvn_idata):
+        idata, y, mus, covs = mvn_idata
+        renamed = pl.from_dict(
+            posterior={"mean_vec": mus, "sigma_mat": covs},
+            observed_data={"y": y},
+        )
+        r = self._quiet(
+            pl.loo_nonfactor, renamed, pointwise=True, reff=1.0,
+            mu_var_name="mean_vec", cov_var_name="sigma_mat",
+        )
+        base = self._quiet(pl.loo_nonfactor, idata, pointwise=True, reff=1.0)
+        assert_allclose(r["elpd_loo"], base["elpd_loo"], rtol=1e-12)
+
+    @pytest.mark.parametrize("method", ["sis", "tis"])
+    def test_other_is_methods(self, mvn_idata, method):
+        idata = mvn_idata[0]
+        r = self._quiet(pl.loo_nonfactor, idata, reff=1.0, method=method)
+        assert np.isfinite(r["elpd_loo"])
+
+    @pytest.mark.parametrize(
+        "scale,sign", [("log", 1.0), ("negative_log", -1.0), ("deviance", -2.0)]
+    )
+    def test_scales(self, mvn_idata, scale, sign):
+        idata = mvn_idata[0]
+        r_log = self._quiet(pl.loo_nonfactor, idata, reff=1.0, scale="log")
+        r = self._quiet(pl.loo_nonfactor, idata, reff=1.0, scale=scale)
+        assert_allclose(r["elpd_loo"], sign * r_log["elpd_loo"], rtol=1e-12)
+
+    def test_invalid_scale_and_method(self, mvn_idata):
+        idata = mvn_idata[0]
+        with pytest.raises(TypeError):
+            self._quiet(pl.loo_nonfactor, idata, scale="bogus")
+        with pytest.raises(ValueError):
+            self._quiet(pl.loo_nonfactor, idata, method="bogus")
+        with pytest.raises(ValueError, match="model_type"):
+            self._quiet(pl.loo_nonfactor, idata, model_type="laplace")
+
+    def test_student_t_missing_df(self, mvn_idata):
+        idata = mvn_idata[0]
+        with pytest.raises((KeyError, ValueError)):
+            self._quiet(
+                pl.loo_nonfactor, idata, reff=1.0, model_type="student_t"
+            )
+
+    def test_student_t_negative_df_warns(self, mvn_idata):
+        # reference loo_nonfactor.py:508-516: warn, give the bad draws -inf
+        # log-lik, and keep going with the rest
+        idata, y, mus, covs = mvn_idata
+        C, T = mus.shape[:2]
+        df = np.full((C, T), 7.0)
+        df[0, :10] = -3.0
+        bad = pl.from_dict(
+            posterior={"mu": mus, "cov": covs, "df": df},
+            observed_data={"y": y},
+        )
+        with warnings.catch_warnings():
+            warnings.simplefilter("always")
+            with pytest.warns(
+                UserWarning, match="Non-positive degrees of freedom"
+            ):
+                r = pl.loo_nonfactor(
+                    bad, reff=1.0, model_type="student_t", pointwise=True
+                )
+        assert np.isfinite(r["elpd_loo"])
+        assert np.isfinite(r["p_loo"])
+
+    def test_missing_mu_raises(self, mvn_idata):
+        idata, y, mus, covs = mvn_idata
+        no_mu = pl.from_dict(
+            posterior={"cov": covs}, observed_data={"y": y}
+        )
+        with pytest.raises((KeyError, ValueError)):
+            self._quiet(pl.loo_nonfactor, no_mu, reff=1.0)
+
+    def test_missing_cov_and_prec_raises(self, mvn_idata):
+        idata, y, mus, covs = mvn_idata
+        no_cov = pl.from_dict(
+            posterior={"mu": mus}, observed_data={"y": y}
+        )
+        with pytest.raises((KeyError, ValueError)):
+            self._quiet(pl.loo_nonfactor, no_cov, reff=1.0)
+
+    def test_no_observed_data_raises(self, mvn_idata):
+        idata, y, mus, covs = mvn_idata
+        bare = pl.from_dict(posterior={"mu": mus, "cov": covs})
+        # reference raises TypeError ("Must be able to extract an
+        # observed_data group", loo_nonfactor.py)
+        with pytest.raises(TypeError, match="observed_data"):
+            self._quiet(pl.loo_nonfactor, bare, reff=1.0)
+
+    def test_manual_reff(self, mvn_idata):
+        idata = mvn_idata[0]
+        r1 = self._quiet(pl.loo_nonfactor, idata, reff=1.0)
+        r2 = self._quiet(pl.loo_nonfactor, idata, reff=0.5)
+        assert np.isfinite(r1["elpd_loo"]) and np.isfinite(r2["elpd_loo"])
+
+    def test_no_pointwise_has_no_loo_i(self, mvn_idata):
+        idata = mvn_idata[0]
+        r = self._quiet(pl.loo_nonfactor, idata, pointwise=False, reff=1.0)
+        assert "loo_i" not in r.index
+
+    def test_always_warns_model_spec(self, mvn_idata):
+        idata = mvn_idata[0]
+        with pytest.warns(UserWarning, match="requires the correct model"):
+            with warnings.catch_warnings():
+                warnings.simplefilter("always")
+                pl.loo_nonfactor(idata, reff=1.0)
+
+    def test_mvt_precision_equals_cov(self, mvn_idata):
+        idata, y, mus, covs = mvn_idata
+        C, T = mus.shape[:2]
+        df = np.full((C, T), 7.0)
+        precs = np.linalg.inv(covs)
+        id_cov = pl.from_dict(
+            posterior={"mu": mus, "cov": covs, "df": df},
+            observed_data={"y": y},
+        )
+        id_prec = pl.from_dict(
+            posterior={"mu": mus, "prec": precs, "df": df},
+            observed_data={"y": y},
+        )
+        r_cov = self._quiet(
+            pl.loo_nonfactor, id_cov, pointwise=True, reff=1.0,
+            model_type="student_t",
+        )
+        r_prec = self._quiet(
+            pl.loo_nonfactor, id_prec, pointwise=True, reff=1.0,
+            model_type="student_t",
+        )
+        assert_allclose(r_prec["elpd_loo"], r_cov["elpd_loo"], rtol=1e-7)

@@ -22,7 +22,7 @@ same :class:`~pyloo_tpu.elpd.ELPDData` as :func:`pyloo_tpu.loo`.
 from __future__ import annotations
 
 import warnings
-from functools import partial
+from functools import lru_cache, partial
 
 import jax
 import jax.numpy as jnp
@@ -42,6 +42,34 @@ from .ops.loo_kernels import (
 from .rcparams import rcParams
 
 __all__ = ["loo_streaming", "loo_subsample_streaming"]
+
+
+def _mesh_sharding(mesh):
+    if mesh is None:
+        return None
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    return NamedSharding(mesh, P("obs", None))
+
+
+@lru_cache(maxsize=64)
+def _gen_program(log_lik_fn, chunk_size, n_obs, dtype_str, sharding):
+    """Jitted chunk generator, memoized on the user's function object.
+
+    Keying on ``log_lik_fn`` (plus the chunk geometry) means repeated
+    streaming calls with the same model reuse one compiled generator; a
+    closure re-created per call would recompile it every time.
+    """
+    dtype = jnp.dtype(dtype_str)
+    kwargs = {} if sharding is None else {"out_shardings": sharding}
+
+    @partial(jax.jit, **kwargs)
+    def gen(c):
+        start = c * chunk_size
+        idx = start + jnp.arange(chunk_size, dtype=jnp.int32)
+        return log_lik_fn(jnp.minimum(idx, n_obs - 1)).astype(dtype)
+
+    return gen
 
 
 def _kernel_for(method, tail_max, dtype):
@@ -164,19 +192,14 @@ def loo_streaming(
 
     tail_max = tail_length(n_draws, reff)
 
-    # only the (cheap, user-model) generation step compiles per call; the
-    # score/accumulate step is the module-level cached _accumulate_chunk
-    gen_kwargs = {}
-    if mesh is not None:
-        from jax.sharding import NamedSharding, PartitionSpec as P
-
-        gen_kwargs["out_shardings"] = NamedSharding(mesh, P("obs", None))
-
-    @partial(jax.jit, **gen_kwargs)
-    def gen(c):
-        start = c * chunk_size
-        idx = start + jnp.arange(chunk_size, dtype=jnp.int32)
-        return log_lik_fn(jnp.minimum(idx, n_obs - 1)).astype(dtype)
+    # only the (cheap, user-model) generation step compiles per generator;
+    # the score/accumulate step is the module-level cached _accumulate_chunk.
+    # The generator program itself is memoized on the user's function object
+    # so REPEATED loo_streaming calls are fully warm (a fresh closure per
+    # call would re-pay the generator compile every time).
+    gen = _gen_program(
+        log_lik_fn, chunk_size, n_obs, str(dtype), _mesh_sharding(mesh)
+    )
 
     good_k = good_k_threshold(n_draws)
     acc = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
@@ -370,17 +393,9 @@ def loo_subsample_streaming(
     chunk_size = max(multiple, chunk_size - chunk_size % multiple)
     n_chunks = -(-n_obs // chunk_size)
 
-    gen_kwargs = {}
-    if mesh is not None:
-        from jax.sharding import NamedSharding, PartitionSpec as P
-
-        gen_kwargs["out_shardings"] = NamedSharding(mesh, P("obs", None))
-
-    @partial(jax.jit, **gen_kwargs)
-    def gen(c):
-        start = c * chunk_size
-        idx = start + jnp.arange(chunk_size, dtype=jnp.int32)
-        return log_lik_fn(jnp.minimum(idx, n_obs - 1)).astype(dtype)
+    gen = _gen_program(
+        log_lik_fn, chunk_size, n_obs, str(dtype), _mesh_sharding(mesh)
+    )
 
     # -- cheap approximation for every observation (streamed LPD) -----------
     if elpd_loo_approximation is not None:

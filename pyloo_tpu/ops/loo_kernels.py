@@ -71,10 +71,20 @@ def loo_scores_psis_fast(log_lik, tail_max: int):
         float(_np.log(_np.finfo(_np.float64).tiny)), dtype
     )
 
-    C = jnp.max(x_raw, axis=1, keepdims=True)
-    x = x_raw - C
+    from .selection import _pallas_applicable
 
-    vals = topk_vals_desc(x, M + 1)  # descending (B, M+1), exact
+    use_fused = _pallas_applicable(x_raw, M + 1)
+    if use_fused:
+        # one VMEM visit computes the sorted tail AND every full-row
+        # reduction (row max, non-tail mass, lppd logsumexp)
+        from .pallas_topk import pallas_loo_prepass
+
+        vals, C1, log_ntl, log_sum_ll = pallas_loo_prepass(x_raw, M + 1)
+        C = C1[:, None]
+    else:
+        C = jnp.max(x_raw, axis=1, keepdims=True)
+        x = x_raw - C
+        vals = topk_vals_desc(x, M + 1)  # descending (B, M+1), exact
     xcutoff = jnp.maximum(vals[:, M], cutoff_floor)  # (B,)
     tail_vals = vals[:, :M]
     in_tail = tail_vals > xcutoff[:, None]
@@ -132,12 +142,16 @@ def loo_scores_psis_fast(log_lik, tail_max: int):
     #     (exactly complementary to the strict > tail membership).
     #   * exp(s - x) overflows float32 whenever the cutoff sits below
     #     ~-88, so the tail ratio sum runs as a max-shifted logsumexp.
-    nontail_mask = x <= xcutoff[:, None]
-    m1 = jnp.max(jnp.where(nontail_mask, x, -jnp.inf), axis=1)
-    m1s = jnp.where(jnp.isfinite(m1), m1, 0.0)
-    log_ntl = m1s + jnp.log(
-        jnp.sum(jnp.where(nontail_mask, jnp.exp(x - m1s[:, None]), 0.0), axis=1)
-    )
+    if not use_fused:
+        nontail_mask = x <= xcutoff[:, None]
+        m1 = jnp.max(jnp.where(nontail_mask, x, -jnp.inf), axis=1)
+        m1s = jnp.where(jnp.isfinite(m1), m1, 0.0)
+        log_ntl = m1s + jnp.log(
+            jnp.sum(
+                jnp.where(nontail_mask, jnp.exp(x - m1s[:, None]), 0.0),
+                axis=1,
+            )
+        )
     lse_s = logsumexp(jnp.where(slot_valid, s_vals, -jnp.inf), axis=1)
     denom = jnp.logaddexp(log_ntl, lse_s)
 
@@ -148,7 +162,10 @@ def loo_scores_psis_fast(log_lik, tail_max: int):
     numer = jnp.logaddexp(jnp.log(S - nf), lse_d)
     elpd_i = -C[:, 0] + numer - denom
 
-    lppd_i = logsumexp(log_lik, axis=1, b_inv=S)
+    if use_fused:
+        lppd_i = log_sum_ll - jnp.log(jnp.asarray(S, dtype))
+    else:
+        lppd_i = logsumexp(log_lik, axis=1, b_inv=S)
     khat = jnp.where(n_tail <= 4, jnp.inf, k)
     return elpd_i, khat, lppd_i
 

@@ -31,6 +31,7 @@ tracked, which is what the scatter-free LOO kernel consumes.
 
 from __future__ import annotations
 
+import sys
 from functools import partial
 
 import jax
@@ -39,10 +40,15 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["pallas_topk_desc", "supports"]
+__all__ = ["pallas_topk_desc", "pallas_loo_prepass", "supports"]
 
 _N = 256  # per-lane list length; also the max supported k
 _LANES = 128
+
+# tracing the fully unrolled sort network (~100 stages x 4 row-blocks of
+# chained ops) exceeds CPython's default 1000-frame recursion limit
+if sys.getrecursionlimit() < 100_000:
+    sys.setrecursionlimit(100_000)
 
 
 def supports(s: int, k: int) -> bool:
@@ -115,19 +121,352 @@ def _rev_sublanes(v):
 
 def _kernel(n_segs: int, rows: int, blk: int, in_ref, out_ref):
     for b in range(blk):
-        v = in_ref[0, b]  # (256, 128): lane = seg * rows + row
+        v = in_ref[b]  # (256, 128): lane = seg * rows + row
         v = _bitonic_sort_desc(v)
         dist = rows
         while dist < _LANES:
-            partner = pltpu.roll(v, shift=_LANES - dist, axis=1)
+            partner = pltpu.roll(v, shift=jnp.int32(_LANES - dist), axis=1)
             v = jnp.maximum(v, _rev_sublanes(partner))
             v = _bitonic_merge_desc(v)
             dist *= 2
-        out_ref[0, b] = v[:, :rows]
+        out_ref[b] = v[:, :rows]
+
+
+def _cmpex_roll(v, j: int, desc):
+    """Compare-exchange at sublane stride ``j`` via cyclic sublane rotates.
+
+    ``desc``: boolean direction per element, broadcastable to ``v`` — True
+    where the pair containing that element orders descending.  Element ``i``
+    pairs with ``i ^ j``: two rotates fetch both neighbor candidates and an
+    iota mask picks the true partner; no value reshapes (Mosaic lowers those
+    to vreg shuffle chains, measured ~2x slower than rotate-based exchange).
+    """
+    down = pltpu.roll(v, shift=jnp.int32(_N - j), axis=0)  # v[i + j]
+    up = pltpu.roll(v, shift=jnp.int32(j), axis=0)  # v[i - j]
+    i = jax.lax.broadcasted_iota(jnp.int32, (_N, 1), 0)
+    has_bit = (
+        jax.lax.rem(jax.lax.div(i, jnp.int32(j)), jnp.int32(2))
+        != jnp.int32(0)
+    )
+    partner = jnp.where(has_bit, up, down)
+    hi = jnp.maximum(v, partner)
+    lo = jnp.minimum(v, partner)
+    keep_hi = desc != has_bit  # XOR: first slot of a desc pair keeps the max
+    return jnp.where(keep_hi, hi, lo)
+
+
+def _kernel_roll(n_segs: int, rows: int, blk: int, in_ref, out_ref):
+    """Rotate-based variant: no value reshapes, no sublane reversal.
+
+    Phase 1 sorts each lane's 256-list descending or ascending by segment
+    parity; each merge round then reduces to an elementwise ``max`` of a
+    desc/asc pair (the half-cleaner needs no flip), and the 8-stage bitonic
+    re-sort orders the result for the segment's role in the NEXT round.
+    """
+    i_sub = jax.lax.broadcasted_iota(jnp.int32, (_N, 1), 0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, _LANES), 1)
+    # all scalar arithmetic in explicit int32: mixing Python ints with
+    # kernel tracers under jax_enable_x64 recurses in dtype promotion
+    seg = jax.lax.div(lane, jnp.int32(rows))
+
+    for b in range(blk):
+        v = in_ref[b]  # (256, 128)
+        # phase 1: direction by segment parity (even: desc, odd: asc)
+        flip = jax.lax.rem(seg, jnp.int32(2)) != jnp.int32(0)
+        for k in (2, 4, 8, 16, 32, 64, 128, 256):
+            if k < _N:
+                stage_desc = (
+                    jax.lax.rem(
+                        jax.lax.div(i_sub, jnp.int32(k)), jnp.int32(2)
+                    )
+                    == jnp.int32(0)
+                )
+            else:
+                stage_desc = jnp.full((_N, 1), True)
+            desc = stage_desc != flip  # XOR
+            j = k // 2
+            while j >= 1:
+                v = _cmpex_roll(v, j, desc)
+                j //= 2
+        # merge rounds
+        dist = rows
+        t = 1
+        while dist < _LANES:
+            partner = pltpu.roll(v, shift=jnp.int32(_LANES - dist), axis=1)
+            v = jnp.maximum(v, partner)
+            # re-sort for the segment's role next round: asc where the
+            # surviving segment is the B side of the next pair
+            flip_next = (
+                jax.lax.rem(
+                    jax.lax.div(seg, jnp.int32(1 << t)), jnp.int32(2)
+                )
+                != jnp.int32(0)
+            )
+            j = _N // 2
+            while j >= 1:
+                v = _cmpex_roll(v, j, jnp.logical_not(flip_next))
+                j //= 2
+            dist *= 2
+            t += 1
+        out_ref[b] = v[:, :rows]
+
+
+def _sort_roll(v, rows: int, i_sub, seg):
+    """The _kernel_roll sort body on one (256, 128) tile: descending lists
+    land in lanes 0..rows-1."""
+    flip = jax.lax.rem(seg, jnp.int32(2)) != jnp.int32(0)
+    for k in (2, 4, 8, 16, 32, 64, 128, 256):
+        if k < _N:
+            stage_desc = (
+                jax.lax.rem(jax.lax.div(i_sub, jnp.int32(k)), jnp.int32(2))
+                == jnp.int32(0)
+            )
+        else:
+            stage_desc = jnp.full((_N, 1), True)
+        desc = stage_desc != flip
+        j = k // 2
+        while j >= 1:
+            v = _cmpex_roll(v, j, desc)
+            j //= 2
+    dist = rows
+    t = 1
+    while dist < _LANES:
+        partner = pltpu.roll(v, shift=jnp.int32(_LANES - dist), axis=1)
+        v = jnp.maximum(v, partner)
+        flip_next = (
+            jax.lax.rem(jax.lax.div(seg, jnp.int32(1 << t)), jnp.int32(2))
+            != jnp.int32(0)
+        )
+        j = _N // 2
+        while j >= 1:
+            v = _cmpex_roll(v, j, jnp.logical_not(flip_next))
+            j //= 2
+        dist *= 2
+        t += 1
+    return v
+
+
+def _lane_tree(v, op, rows: int):
+    """Reduce across each lane's congruence class mod ``rows``.
+
+    After the log-tree of cyclic lane rotates every lane holds the reduction
+    over {l, l+rows, l+2*rows, ...} — i.e. each of the row's segment lanes
+    ends up with the full-row value, already aligned for broadcasting.
+    """
+    d = rows
+    while d < _LANES:
+        v = op(v, pltpu.roll(v, shift=jnp.int32(_LANES - d), axis=1))
+        d *= 2
+    return v
+
+
+def _kernel_fused(
+    n_segs: int, rows: int, blk: int, k_cut: int, floor: float,
+    in_ref, out_ref, aux_ref,
+):
+    """Sort + fused per-row reductions for the PSIS fast path.
+
+    Per row (one VMEM visit of the raw data): the shifted sorted top-256,
+    the row max C, the tail cutoff (order statistic ``k_cut`` with the
+    reference float64-tiny floor, ``pyloo/psis.py:90``), the non-tail exp
+    mass relative to the cutoff, and the lppd logsumexp pieces — removing
+    three full HBM passes from the XLA side of ``loo_scores_psis_fast``.
+    """
+    i_sub = jax.lax.broadcasted_iota(jnp.int32, (_N, 1), 0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, _LANES), 1)
+    seg = jax.lax.div(lane, jnp.int32(rows))
+    lane_ok = lane < jnp.int32(rows)
+
+    for b in range(blk):
+        v0 = in_ref[b]  # (256, 128) raw x = -log_lik, NOT shifted
+        c_row = _lane_tree(
+            jnp.max(v0, axis=0, keepdims=True), jnp.maximum, rows
+        )  # (1, 128): every lane already holds its row's max
+        xs = v0 - c_row
+
+        v = _sort_roll(xs, rows, i_sub, seg)
+
+        xcut = jnp.maximum(v[k_cut : k_cut + 1, :], floor)  # (1, 128)
+        # valid only in lanes < rows; rebroadcast to all segment lanes
+        xcut_full = _lane_tree(
+            jnp.where(lane_ok, xcut, 0.0), jnp.add, rows
+        )
+        nt = jnp.where(xs <= xcut_full, jnp.exp(xs - xcut_full), 0.0)
+        s_nt = _lane_tree(jnp.sum(nt, axis=0, keepdims=True), jnp.add, rows)
+
+        # lppd pieces: logsumexp over the row of ll = -x_raw.  The sort
+        # padding is -inf, which must not reach the row min (it would NaN
+        # the exp): padded positions are masked to +inf / zero contribution.
+        pad = jnp.isneginf(v0)
+        v0m = jnp.where(pad, jnp.inf, v0)
+        r_min = _lane_tree(
+            jnp.min(v0m, axis=0, keepdims=True), jnp.minimum, rows
+        )
+        nll = jnp.where(pad, 0.0, jnp.exp(r_min - v0))
+        s_ll = _lane_tree(jnp.sum(nll, axis=0, keepdims=True), jnp.add, rows)
+
+        aux = jnp.concatenate(
+            [c_row, xcut_full, s_nt, r_min, s_ll]
+            + [jnp.zeros((3, _LANES), v0.dtype)],
+            axis=0,
+        )  # (8, 128)
+        aux_ref[b] = aux
+        out_ref[b] = v[:, :rows]
 
 
 @partial(jax.jit, static_argnames=("k", "interpret"))
-def pallas_topk_desc(x, k: int, *, interpret: bool = False):
+def pallas_loo_prepass(x_raw, k: int, *, interpret: bool = False):
+    """Fused selection + row reductions for the float32 PSIS fast path.
+
+    (B, S) raw ``x = -log_lik`` -> ``(vals, C, log_ntl, log_sum_ll)`` where
+    ``vals`` is the shifted descending top-k, ``C`` the row max,
+    ``log_ntl = log sum_{x - C <= xcutoff} exp(x - C)`` and
+    ``log_sum_ll = logsumexp(-x)`` (the unnormalized lppd).
+    """
+    b_in, s = x_raw.shape
+    if not supports(s, k):
+        raise ValueError(f"pallas_loo_prepass does not support S={s}, k={k}")
+    n_segs = 1
+    while n_segs * _N < s:
+        n_segs *= 2
+    rows = _LANES // n_segs
+    s_pad = n_segs * _N
+
+    blk = 4
+    rows_per_step = rows * blk
+    b_pad = -(-b_in // rows_per_step) * rows_per_step
+    grid = b_pad // rows_per_step
+
+    xp = x_raw
+    if s_pad != s or b_pad != b_in:
+        xp = jnp.pad(
+            x_raw,
+            ((0, b_pad - b_in), (0, s_pad - s)),
+            constant_values=-jnp.inf,
+        )
+    xt = (
+        xp.reshape(grid, blk, rows, n_segs, _N)
+        .transpose(0, 1, 4, 3, 2)
+        .reshape(grid * blk, _N, _LANES)
+    )
+
+    import numpy as _np
+
+    floor = float(_np.log(_np.finfo(_np.float64).tiny))
+    out, aux = pl.pallas_call(
+        partial(_kernel_fused, n_segs, rows, blk, k - 1, floor),
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec(
+                (blk, _N, _LANES),
+                lambda j: (j, 0 * j, 0 * j),
+                memory_space=pltpu.VMEM,
+            )
+        ],
+        out_specs=(
+            pl.BlockSpec(
+                (blk, _N, rows),
+                lambda j: (j, 0 * j, 0 * j),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (blk, 8, _LANES),
+                lambda j: (j, 0 * j, 0 * j),
+                memory_space=pltpu.VMEM,
+            ),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((grid * blk, _N, rows), x_raw.dtype),
+            jax.ShapeDtypeStruct((grid * blk, 8, _LANES), x_raw.dtype),
+        ),
+        interpret=interpret,
+    )(xt)
+
+    vals = (
+        out.reshape(grid, blk, _N, rows)
+        .transpose(0, 1, 3, 2)
+        .reshape(b_pad, _N)[:b_in, :k]
+    )
+    per_row = aux[:, :, :rows].transpose(0, 2, 1).reshape(b_pad, 8)[:b_in]
+    c_row = per_row[:, 0]
+    xcut = per_row[:, 1]
+    log_ntl = xcut + jnp.log(per_row[:, 2])
+    log_sum_ll = -per_row[:, 3] + jnp.log(per_row[:, 4])
+    return vals, c_row, log_ntl, log_sum_ll
+
+
+def _cmpex_lane(v, j: int, desc):
+    """Compare-exchange at stride ``j`` along the last (row) axis of ``v``.
+
+    Same pairing/selection logic as :func:`_cmpex_roll` but on the natural
+    ``(rows, S)`` layout: strides that are multiples of 128 lower to static
+    vreg renumbering, smaller strides to lane rotates.
+    """
+    w = v.shape[-1]
+    down = pltpu.roll(v, shift=jnp.int32(w - j), axis=1)  # v[i + j]
+    up = pltpu.roll(v, shift=jnp.int32(j), axis=1)  # v[i - j]
+    i = jax.lax.broadcasted_iota(jnp.int32, (1, w), 1)
+    has_bit = (
+        jax.lax.rem(jax.lax.div(i, jnp.int32(j)), jnp.int32(2))
+        != jnp.int32(0)
+    )
+    partner = jnp.where(has_bit, up, down)
+    hi = jnp.maximum(v, partner)
+    lo = jnp.minimum(v, partner)
+    keep_hi = desc != has_bit
+    return jnp.where(keep_hi, hi, lo)
+
+
+def _kernel_natural(n_segs: int, in_ref, out_ref):
+    """Natural-layout kernel: rows stay rows, no transposes anywhere.
+
+    The input block is ``(R, n_segs*256)`` exactly as the caller stores it.
+    All 256-wide segments of every row sort simultaneously through one
+    bitonic network over the flat row axis (pairs ``i ^ j`` never cross a
+    segment boundary for ``j < 256``); segment parity picks the direction so
+    each max-merge round is a single rotate + ``max``.  The answer lands in
+    columns 0..255 — a contiguous slice, so the output needs no
+    rearrangement either.
+    """
+    v = in_ref[...]
+    w = v.shape[-1]
+    i = jax.lax.broadcasted_iota(jnp.int32, (1, w), 1)
+
+    def bit(div_by):
+        return (
+            jax.lax.rem(jax.lax.div(i, jnp.int32(div_by)), jnp.int32(2))
+            != jnp.int32(0)
+        )
+
+    flip = bit(_N)  # segment parity: odd segments sort ascending
+    for k in (2, 4, 8, 16, 32, 64, 128, 256):
+        stage_desc = jnp.logical_not(bit(k)) if k < _N else jnp.full(
+            (1, w), True
+        )
+        desc = stage_desc != flip  # XOR
+        j = k // 2
+        while j >= 1:
+            v = _cmpex_lane(v, j, desc)
+            j //= 2
+
+    dist = _N
+    t = 0
+    while dist < w:
+        partner = pltpu.roll(v, shift=jnp.int32(w - dist), axis=1)
+        v = jnp.maximum(v, partner)
+        # surviving super-segment (width 2*dist) parity = role next round
+        flip_next = bit(2 * dist)
+        j = _N // 2
+        while j >= 1:
+            v = _cmpex_lane(v, j, jnp.logical_not(flip_next))
+            j //= 2
+        dist *= 2
+        t += 1
+    out_ref[...] = v[:, :_N]
+
+
+@partial(jax.jit, static_argnames=("k", "interpret", "variant"))
+def pallas_topk_desc(x, k: int, *, interpret: bool = False, variant: str = "roll"):
     """Exact top-k values of each row, descending.  (B, S) -> (B, k).
 
     Requires ``supports(S, k)``; rows are padded with ``-inf`` so any
@@ -141,6 +480,37 @@ def pallas_topk_desc(x, k: int, *, interpret: bool = False):
         n_segs *= 2
     rows = _LANES // n_segs
     s_pad = n_segs * _N
+
+    if variant == "natural":
+        r_blk = 8  # rows per grid step (8 x 4096 f32 = 128 KB = 64 vregs)
+        b_pad = -(-b_in // r_blk) * r_blk
+        grid = b_pad // r_blk
+        xp = x
+        if s_pad != s or b_pad != b_in:
+            xp = jnp.pad(
+                x,
+                ((0, b_pad - b_in), (0, s_pad - s)),
+                constant_values=-jnp.inf,
+            )
+        out = pl.pallas_call(
+            partial(_kernel_natural, n_segs),
+            grid=(grid,),
+            in_specs=[
+                pl.BlockSpec(
+                    (r_blk, s_pad),
+                    lambda j: (j, 0 * j),
+                    memory_space=pltpu.VMEM,
+                )
+            ],
+            out_specs=pl.BlockSpec(
+                (r_blk, _N),
+                lambda j: (j, 0 * j),
+                memory_space=pltpu.VMEM,
+            ),
+            out_shape=jax.ShapeDtypeStruct((b_pad, _N), x.dtype),
+            interpret=interpret,
+        )(xp)
+        return out[:b_in, :k]
 
     blk = 4  # row-blocks per grid step (DMA amortization)
     rows_per_step = rows * blk
@@ -158,27 +528,34 @@ def pallas_topk_desc(x, k: int, *, interpret: bool = False):
     xt = (
         xp.reshape(grid, blk, rows, n_segs, _N)
         .transpose(0, 1, 4, 3, 2)
-        .reshape(grid, blk, _N, _LANES)
+        .reshape(grid * blk, _N, _LANES)
     )
 
+    kern = _kernel_roll if variant == "roll" else _kernel
     out = pl.pallas_call(
-        partial(_kernel, n_segs, rows, blk),
+        partial(kern, n_segs, rows, blk),
         grid=(grid,),
         in_specs=[
             pl.BlockSpec(
-                (1, blk, _N, _LANES),
-                lambda j: (j, 0, 0, 0),
+                (blk, _N, _LANES),
+                # 0 * j keeps the literal zeros i32 under jax_enable_x64
+                # (Mosaic rejects i64 block indices)
+                lambda j: (j, 0 * j, 0 * j),
                 memory_space=pltpu.VMEM,
             )
         ],
         out_specs=pl.BlockSpec(
-            (1, blk, _N, rows),
-            lambda j: (j, 0, 0, 0),
+            (blk, _N, rows),
+            lambda j: (j, 0 * j, 0 * j),
             memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct((grid, blk, _N, rows), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((grid * blk, _N, rows), x.dtype),
         interpret=interpret,
     )(xt)
 
-    res = out.transpose(0, 1, 3, 2).reshape(b_pad, _N)[:b_in, :k]
+    res = (
+        out.reshape(grid, blk, _N, rows)
+        .transpose(0, 1, 3, 2)
+        .reshape(b_pad, _N)[:b_in, :k]
+    )
     return res

@@ -34,15 +34,34 @@ __all__ = ["topk_vals_desc"]
 _SEGMENT_WIDTH = 1000
 _MIN_CASCADE_WIDTH = 2000
 
+# Use the Pallas bitonic kernel (ops/pallas_topk.py) on real TPUs where it
+# applies; the approx_max_k cascade remains the portable path (CPU tests,
+# unsupported shapes, float64).
+_PALLAS_MIN_ROWS = 1024
+
+
+def _pallas_applicable(x, k: int) -> bool:
+    if jax.default_backend() != "tpu" or x.dtype != jnp.float32:
+        return False
+    if x.ndim != 2 or x.shape[0] < _PALLAS_MIN_ROWS:
+        return False
+    from .pallas_topk import supports
+
+    return supports(x.shape[-1], k)
+
 
 def topk_vals_desc(x, k: int):
     """Exact top-k values of each row of ``x``, descending.  (B, S) -> (B, k).
 
-    Equivalent to ``jax.lax.top_k(x, k)[0]`` but ~1.5x faster on TPU for
-    wide rows via the segmented cascade above.  Rows where the cascade
-    cannot shrink the sort width use plain single-stage selection.
+    Equivalent to ``jax.lax.top_k(x, k)[0]``; dispatches to the Pallas
+    bitonic sort-and-merge kernel on TPU (float32, supported shapes) and to
+    the segmented ``approx_max_k`` cascade elsewhere.
     """
     s = x.shape[-1]
+    if _pallas_applicable(x, k):
+        from .pallas_topk import pallas_topk_desc
+
+        return pallas_topk_desc(x, k, variant="roll")
     if k == s:
         return jnp.sort(x, axis=-1, descending=True)
     if s < _MIN_CASCADE_WIDTH or _SEGMENT_WIDTH < 2 * k:

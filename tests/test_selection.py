@@ -94,3 +94,58 @@ def test_degenerate_gpd_fit_stays_finite():
     assert_allclose(
         np.asarray(e[::512], np.float64), np.asarray(e64), rtol=2e-3
     )
+
+
+class TestPallasKernels:
+    """Interpret-mode exactness of the Pallas selection / prepass kernels
+    (the TPU fast path dispatches to these for float32, B >= 1024)."""
+
+    def test_topk_desc_exact(self):
+        import jax
+        import jax.numpy as jnp
+
+        from pyloo_tpu.ops.pallas_topk import pallas_topk_desc
+
+        x = jax.random.normal(jax.random.PRNGKey(0), (19, 4000), jnp.float32)
+        x = x.at[0].set(0.25)  # full-row ties
+        x = x.at[1].set(-jnp.inf)
+        got = pallas_topk_desc(x, 191, interpret=True)
+        want = jax.lax.top_k(x, 191)[0]
+        same = (got == want) | (jnp.isneginf(got) & jnp.isneginf(want))
+        assert bool(jnp.all(same))
+
+    def test_loo_prepass_matches_xla(self):
+        import jax
+        import jax.numpy as jnp
+
+        from pyloo_tpu.ops.lse import logsumexp
+        from pyloo_tpu.ops.pallas_topk import pallas_loo_prepass
+
+        rng = np.random.default_rng(0)
+        ll = rng.normal(-1, 0.8, size=(16, 2000))
+        ll[3] = -np.abs(rng.standard_t(2, size=2000)) * 3  # heavy tail row
+        x_raw = jnp.asarray(-ll, jnp.float32)
+        M = 191
+        vals, c1, log_ntl, log_sum_ll = pallas_loo_prepass(
+            x_raw, M + 1, interpret=True
+        )
+        C = jnp.max(x_raw, axis=1)
+        x = x_raw - C[:, None]
+        want_vals = jax.lax.top_k(x, M + 1)[0]
+        floor = float(np.log(np.finfo(np.float64).tiny))
+        xc = jnp.maximum(want_vals[:, M], floor)
+        mask = x <= xc[:, None]
+        want_ntl = xc + jnp.log(
+            jnp.sum(jnp.where(mask, jnp.exp(x - xc[:, None]), 0.0), axis=1)
+        )
+        assert bool(jnp.all(vals == want_vals))
+        assert bool(jnp.all(c1 == C))
+        np.testing.assert_allclose(
+            np.asarray(log_ntl), np.asarray(want_ntl), rtol=2e-6, atol=1e-6
+        )
+        np.testing.assert_allclose(
+            np.asarray(log_sum_ll),
+            np.asarray(logsumexp(-x_raw, axis=1)),
+            rtol=2e-6,
+            atol=1e-6,
+        )

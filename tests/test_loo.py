@@ -1,5 +1,7 @@
 """End-to-end tests for loo()/waic() against oracle numerics and goldens."""
 
+import warnings
+
 import numpy as np
 import pytest
 from numpy.testing import assert_allclose
@@ -44,15 +46,33 @@ class TestLooParity:
         assert_allclose(res["looic"], -2 * elpd_i.sum(), rtol=1e-9)
 
     def test_golden_values(self, centered, non_centered):
-        # regression goldens for the bundled datasets (cf. reference README
-        # values -30.78 (1.35) / 0.95 on its arviz-sampled posterior)
-        res = pl.loo(centered)
-        assert abs(res["elpd_loo"] - (-30.74)) < 0.05
-        assert abs(res["se"] - 1.34) < 0.05
-        assert abs(res["p_loo"] - 0.90) < 0.05
+        # the bundled datasets reproduce the reference README quickstart
+        # within print rounding (README.md:75-85): elpd -30.78 (1.35),
+        # p_loo 0.95 (0.48), looic 61.56 (2.69), all k < 0.7
+        res = pl.loo(centered, pointwise=True)
+        assert round(float(res["elpd_loo"]), 2) == -30.78
+        assert abs(res["se"] - 1.35) <= 0.011
+        assert round(float(res["p_loo"]), 2) == 0.95
+        assert round(float(res["p_loo_se"]), 2) == 0.48
+        assert round(float(res["looic"]), 2) == 61.56
+        assert round(float(res["looic_se"]), 2) == 2.69
+        assert float(res.pareto_k.values.max()) < 0.7
+        assert not res["warning"]
         res_nc = pl.loo(non_centered)
-        assert abs(res_nc["elpd_loo"] - (-30.60)) < 0.05
+        assert round(float(res_nc["elpd_loo"]), 2) == -30.72
         assert not res_nc["warning"]
+
+    def test_compare_golden_values(self, centered, non_centered):
+        # reference README loo_compare table (README.md:107-114)
+        cmp = pl.loo_compare(
+            {"centered": centered, "non_centered": non_centered}
+        )
+        assert list(cmp.index) == ["non_centered", "centered"]
+        assert round(float(cmp.loc["non_centered", "elpd_loo"]), 2) == -30.72
+        assert round(float(cmp.loc["centered", "elpd_diff"]), 2) == -0.06
+        assert round(float(cmp.loc["centered", "dse"]), 2) == 0.06
+        assert float(cmp.loc["non_centered", "weight"]) > 0.999
+        assert float(cmp.loc["centered", "weight"]) < 1e-12
 
     def test_scales(self, centered):
         log = pl.loo(centered, scale="log", reff=0.9)
@@ -125,14 +145,24 @@ class TestLooParity:
         assert np.isfinite(res["elpd_loo"])
         assert np.all(res.pareto_k.values == 0)
 
-    def test_print_formats(self, centered, non_centered):
+    def test_print_formats(self, centered, non_centered, rng):
         text = str(pl.loo(centered, pointwise=True))
         assert "Computed from 2000 posterior samples and 8 observations" in text
-        assert "Pareto k diagnostic values:" in text
+        assert "All Pareto k estimates are good" in text
         text_nc = str(pl.loo(non_centered, pointwise=True))
         assert "All Pareto k estimates are good" in text_nc
         text_np = str(pl.loo(non_centered))
         assert "Estimate" in text_np
+        # the k-diagnostic histogram table appears when some k are bad
+        z = rng.standard_t(df=1.5, size=(2, 400, 12))
+        heavy = pl.from_dict(
+            posterior={"mu": rng.normal(size=(2, 400))},
+            log_likelihood={"obs": -np.abs(z)},
+        )
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            text_h = str(pl.loo(heavy, pointwise=True, reff=1.0))
+        assert "Pareto k diagnostic values:" in text_h
 
 
 class TestWaic:

@@ -138,21 +138,26 @@ def main():
     api_wall, api_elpd = bench_streaming_api(dev)
     f64_wall = bench_exact_f64(base)
 
+    # Headline = the public API path (loo_streaming): log-likelihood
+    # evaluation + fused Pallas PSIS scoring + reductions for 1M x 4000 on
+    # one chip.  The salted kernel loop (detail) measures the score kernel
+    # under the anti-result-caching methodology; its salt pass and per-chunk
+    # dispatch are measurement artifacts the product path does not pay.
     result = {
-        "metric": "psis_obs_per_sec_4k_draws",
-        "value": round(obs_per_sec, 1),
+        "metric": "loo_1m_x_4k_draws_obs_per_sec",
+        "value": round(TOTAL_OBS / api_wall, 1),
         "unit": "obs/s",
-        "vs_baseline": round(obs_per_sec / REFERENCE_OBS_PER_SEC, 2),
+        "vs_baseline": round(TOTAL_OBS / api_wall / REFERENCE_OBS_PER_SEC, 2),
         "detail": {
             "total_obs": TOTAL_OBS,
             "n_draws": N_DRAWS,
-            "wall_s": round(wall, 3),
+            "api_loo_streaming_wall_s": round(api_wall, 3),
+            "api_loo_streaming_elpd": round(api_elpd, 1),
             "device": str(dev),
             "dtype": "float32",
+            "kernel_salted_loop_obs_per_sec": round(obs_per_sec, 1),
+            "kernel_salted_loop_wall_s": round(wall, 3),
             "mean_khat": round(mean_khat, 4),
-            "api_loo_streaming_1m_wall_s": round(api_wall, 3),
-            "api_loo_streaming_1m_obs_per_sec": round(TOTAL_OBS / api_wall, 1),
-            "api_loo_streaming_elpd": round(api_elpd, 1),
             "exact_f64_wall_s": round(f64_wall, 3),
             "exact_f64_obs_per_sec": round(TOTAL_OBS / f64_wall, 1),
         },

@@ -81,19 +81,32 @@ t0 = time.perf_counter()
 wells = fit(wells_model(), draws=500, tune=500, chains=2, seed=42)
 full = pl.loo(wells)
 cfg4 = {"full_elpd": round(float(full["elpd_loo"]), 1)}
-np.random.seed(0)
+# z = (estimate - full) / subsampling_SE over seeded repeats: a single draw
+# can land in the tail (round 1 shipped hh_pps at z = 2.58 from one seed);
+# the distributional summary is the calibration evidence (see also
+# tests/test_subsample.py::TestSubsamplingSECalibration, 400-seed z ~ N(0,1))
+N_REPEATS = 20
 for estimator in ("diff_srs", "hh_pps"):
-    sub = pl.loo_subsample(wells, observations=400, estimator=estimator)
-    cfg4[estimator] = {
-        "elpd": round(float(sub["elpd_loo"]), 1),
-        "subsampling_SE": round(float(sub["subsampling_SE"]), 2),
-        "z_vs_full": round(
+    zs, last = [], None
+    for rep in range(N_REPEATS):
+        sub = pl.loo_subsample(
+            wells, observations=400, estimator=estimator, seed=rep
+        )
+        zs.append(
             float(
                 (sub["elpd_loo"] - full["elpd_loo"])
                 / max(sub["subsampling_SE"], 1e-9)
-            ),
-            2,
-        ),
+            )
+        )
+        last = sub
+    zs = np.asarray(zs)
+    cfg4[estimator] = {
+        "elpd": round(float(last["elpd_loo"]), 1),
+        "subsampling_SE": round(float(last["subsampling_SE"]), 2),
+        "z_vs_full_mean": round(float(zs.mean()), 2),
+        "z_vs_full_sd": round(float(zs.std(ddof=1)), 2),
+        "z_vs_full_max_abs": round(float(np.abs(zs).max()), 2),
+        "n_seeds": N_REPEATS,
     }
 cfg4["wall_s"] = round(time.perf_counter() - t0, 2)
 cfg4["note"] = "1M-synthetic-observation run: scripts/bench_subsample.py"

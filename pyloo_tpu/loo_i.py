@@ -120,7 +120,12 @@ def loo_i(
     lik = np.exp(ll_i.values)
     E_epd = np.exp(loo_lppd)
     var_epd = np.sum(weights**2 * (lik - E_epd) ** 2) / reff
-    loo_lppd_se = float(np.sqrt(np.log1p(var_epd / E_epd**2)))
+    # E_epd underflows to 0 when the scaled elpd is very negative (e.g. a
+    # NaN-replaced -1e10 likelihood); the SE is then unbounded, not 0/0
+    if E_epd > 0:
+        loo_lppd_se = float(np.sqrt(np.log1p(var_epd / E_epd**2)))
+    else:
+        loo_lppd_se = float("inf")
 
     lppd = float(np.sum(_logsumexp(ll_i.values, b_inv=n_samples, axis=-1)))
     p_loo = lppd - loo_lppd / scale_value

@@ -75,3 +75,102 @@ def test_existing_axis_reused(results):
     fig, my_ax = plt.subplots()
     out = pl.plot_loo(r1, ax=my_ax)
     assert out is my_ax
+
+
+@pytest.mark.parametrize(
+    "kwargs",
+    [
+        {},
+        {"var_name": None},
+        {"color": "blue"},
+        {"threshold": 0.7},
+        {"sort": False},
+        {"n_points": 5},
+        {"use_pareto_k": False},
+        {"figsize": (8, 6)},
+        {"textsize": 12},
+    ],
+)
+def test_plot_influence_kwargs(results, kwargs):
+    r, _, _ = results
+    ax = pl.plot_influence(r, **kwargs)
+    assert ax is not None
+
+
+@pytest.mark.parametrize(
+    "kwargs",
+    [
+        {},
+        {"var_name": None},
+        {"color": "blue"},
+        {"threshold": 0.7},
+        {"show_pareto_k": False},
+        {"show_elpd": True},
+        {"figsize": (8, 6)},
+        {"textsize": 12},
+    ],
+)
+def test_plot_loo_kwargs(results, kwargs):
+    r, _, _ = results
+    ax = pl.plot_loo(r, **kwargs)
+    assert ax is not None
+
+
+@pytest.mark.parametrize(
+    "kwargs",
+    [
+        {},
+        {"group": None},
+        {"outlier_thresh": 2.0},
+        {"size": 2},
+        {"alpha": 0.7},
+        {"jitter": 0.1},
+        {"jitter": (0.1, 0.2)},
+        {
+            "sort_by_group": True,
+            "group": np.array(["Group A", "Group B"] * 4),
+        },
+        {"figsize": (8, 6)},
+        {"textsize": 12},
+    ],
+)
+def test_plot_loo_difference_kwargs(results, kwargs):
+    r1, r2, _ = results
+    x = np.arange(len(r1.loo_i.values))
+    ax = pl.plot_loo_difference(x, r1, r2, **kwargs)
+    assert ax is not None
+
+
+def test_plot_loo_difference_validation(results):
+    r1, r2, _ = results
+    with pytest.raises(ValueError, match="[Ll]ength"):
+        pl.plot_loo_difference(np.arange(7), r1, r2)
+    with pytest.raises(ValueError, match="[Ll]ength"):
+        pl.plot_loo_difference(
+            np.arange(8), r1, r2, group=["A"] * 7
+        )
+
+
+def test_show_parameter_does_not_block(results, monkeypatch):
+    r, r2, _ = results
+    shown = []
+    monkeypatch.setattr(plt, "show", lambda: shown.append(True))
+    pl.plot_loo(r, show=True)
+    pl.plot_influence(r, show=True)
+    pl.plot_loo_difference(
+        np.arange(8), r, r2, show=True
+    )
+    assert len(shown) == 3
+
+
+def test_backend_kwargs_passthrough(results):
+    r, _, _ = results
+    ax = pl.plot_loo(r, backend_kwargs={"figsize": (4, 3)})
+    fig = ax.get_figure()
+    assert tuple(fig.get_size_inches()) == (4.0, 3.0)
+
+
+def test_explicit_backend_matplotlib(results):
+    r, _, _ = results
+    ax = pl.plot_loo(r, backend="matplotlib")
+    assert ax is not None

@@ -198,3 +198,57 @@ class TestLooScore:
             pl.loo_score(idata, x_group="prior", reff=1.0)
         with pytest.raises(ValueError, match="Multiple variables"):
             pl.loo_score(idata, reff=1.0)  # two pp vars, no x_var
+
+
+class TestLooScoreBreadth:
+    """loo_score option/validation coverage mirroring the reference's
+    ``test_loo_score.py`` battery."""
+
+    @staticmethod
+    def _score(pp_idata, **kw):
+        idata, _ = pp_idata
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            return pl.loo_score(
+                idata, x_var="obs", x2_var="obs2", reff=1.0, seed=0, **kw
+            )
+
+    def test_pointwise_shapes(self, pp_idata):
+        r = self._score(pp_idata, pointwise=True)
+        assert np.atleast_1d(np.asarray(r.pointwise)).shape == (40,)
+        assert np.isfinite(r.estimates["Estimate"])
+        assert np.isfinite(r.estimates["SE"])
+        assert r.pareto_k is not None
+
+    def test_scaled_differs_from_unscaled(self, pp_idata):
+        crps = self._score(pp_idata, scale=False)
+        scrps = self._score(pp_idata, scale=True)
+        assert (
+            abs(crps.estimates["Estimate"] - scrps.estimates["Estimate"])
+            > 1e-6
+        )
+
+    def test_reff_changes_little_but_runs(self, pp_idata):
+        idata, _ = pp_idata
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            r1 = pl.loo_score(idata, x_var="obs", x2_var="obs2", reff=1.0, seed=0)
+            r2 = pl.loo_score(idata, x_var="obs", x2_var="obs2", reff=0.3, seed=0)
+        assert np.isfinite(r1.estimates["Estimate"])
+        assert np.isfinite(r2.estimates["Estimate"])
+
+    def test_good_k_and_warning_fields(self, pp_idata):
+        # diagnostics only with pointwise=True (reference loo_score.py:253)
+        r0 = self._score(pp_idata)
+        assert r0.good_k is None and r0.pareto_k is None
+        r = self._score(pp_idata, pointwise=True)
+        assert 0 < r.good_k <= 0.7
+        assert isinstance(bool(r.warning), bool)
+
+    def test_missing_groups_raise(self, rng):
+        idata = pl.from_dict(
+            posterior={"mu": rng.normal(size=(2, 100))},
+            log_likelihood={"obs": rng.normal(size=(2, 100, 6))},
+        )
+        with pytest.raises((KeyError, ValueError, AttributeError, TypeError)):
+            pl.loo_score(idata, reff=1.0)

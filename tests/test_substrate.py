@@ -215,3 +215,61 @@ def test_profiler_trace_writes_files(tmp_path):
     # a plugins/profile directory with at least one artifact appears
     produced = list(tmp_path.rglob("*"))
     assert produced, "profiler trace produced no files"
+
+
+class TestRcParamsBehaviors:
+    """Behavior parity with the reference's rcparams battery
+    (``pyloo/tests/base_tests/test_rcparams.py``)."""
+
+    def test_boolean_validation(self):
+        pl.rcParams["stats.ic_pointwise"] = True
+        assert pl.rcParams["stats.ic_pointwise"] is True
+        pl.rcParams["stats.ic_pointwise"] = False
+        with pytest.raises(ValueError):
+            pl.rcParams["stats.ic_pointwise"] = "maybe"
+
+    def test_scale_validation(self):
+        for scale in ("log", "negative_log", "deviance"):
+            pl.rcParams["stats.ic_scale"] = scale
+            assert pl.rcParams["stats.ic_scale"] == scale
+        pl.rcParams["stats.ic_scale"] = "log"
+        with pytest.raises(ValueError):
+            pl.rcParams["stats.ic_scale"] = "loglog"
+
+    def test_backend_validation(self):
+        pl.rcParams["plot.backend"] = "matplotlib"
+        with pytest.raises(ValueError):
+            pl.rcParams["plot.backend"] = "plotly"
+
+    def test_setdefault_prevented(self):
+        with pytest.raises(TypeError):
+            pl.rcParams.setdefault("stats.ic_scale", "log")
+
+    def test_string_representation(self):
+        text = repr(pl.rcParams)
+        assert "stats.ic_scale" in text
+        assert "plot.backend" in text
+
+    def test_iteration_and_len(self):
+        keys = sorted(pl.rcParams)
+        assert "stats.ic_pointwise" in keys
+        assert len(pl.rcParams) == len(keys)
+
+    def test_consumed_by_entry_points(self, rng):
+        ll = rng.normal(-1, 0.3, size=(2, 200, 10))
+        idata = pl.from_dict(
+            posterior={"mu": rng.normal(size=(2, 200))},
+            log_likelihood={"obs": ll},
+        )
+        pl.rcParams["stats.ic_pointwise"] = True
+        try:
+            res = pl.loo(idata, reff=1.0)
+            assert "loo_i" in res.index  # pointwise default consumed
+        finally:
+            pl.rcParams["stats.ic_pointwise"] = False
+        pl.rcParams["stats.ic_scale"] = "deviance"
+        try:
+            res_dev = pl.loo(idata, reff=1.0)
+            assert res_dev["scale"] == "deviance"
+        finally:
+            pl.rcParams["stats.ic_scale"] = "log"

@@ -316,3 +316,95 @@ class TestKfoldExactConjugate:
             kf = pl.loo_kfold(wrapper, K=len(y), random_seed=1)
             lo = pl.loo(wrapper.idata, reff=1.0)
         assert abs(kf["elpd_kfold"] - lo["elpd_loo"]) < 0.2
+
+
+class TestRelooBreadth:
+    """reloo option coverage (reference ``test_reloo.py``, 21 behaviors)
+    on exact conjugate refits — fast and deterministic."""
+
+    @pytest.fixture(scope="class")
+    def conj(self):
+        rng = np.random.default_rng(8)
+        y = rng.normal(0.5, 1.0, size=25)
+        y[0] = 6.0  # outlier
+        model = _conjugate_normal_model(y)
+        idata = _exact_conjugate_sampler(model, seed=77)
+        wrapper = pl.JAXModelWrapper(
+            model, idata,
+            sample_kwargs=dict(sampler=_exact_conjugate_sampler, seed=78),
+        )
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            orig = pl.loo(idata, pointwise=True, reff=1.0)
+        return wrapper, orig
+
+    @pytest.mark.parametrize("scale", ["log", "negative_log", "deviance"])
+    def test_scales(self, conj, scale):
+        wrapper, orig = conj
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            res = pl.reloo(
+                wrapper, k_thresh=0.3, scale=scale, verbose=False
+            )
+        assert res["scale"] == scale
+        assert np.isfinite(res["elpd_loo"])
+
+    @pytest.mark.parametrize("k_thresh", [0.2, 0.5, 0.9])
+    def test_thresholds(self, conj, k_thresh):
+        wrapper, orig = conj
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            res = pl.reloo(
+                wrapper, loo_orig=orig, k_thresh=k_thresh, verbose=False
+            )
+        refit = orig.pareto_k.values > k_thresh
+        assert np.all(res.pareto_k.values[refit] == 0)
+        kept = ~refit
+        assert_allclose(
+            res.loo_i.values[kept], orig.loo_i.values[kept], rtol=1e-12
+        )
+
+    def test_without_original_loo(self, conj):
+        wrapper, orig = conj
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            res = pl.reloo(wrapper, k_thresh=0.4, verbose=False)
+        assert np.isfinite(res["elpd_loo"])
+
+    def test_verbose_logging(self, conj, caplog):
+        import logging
+
+        wrapper, orig = conj
+        logging.disable(logging.NOTSET)
+        try:
+            with caplog.at_level(logging.INFO, logger="pyloo_tpu.reloo"):
+                with warnings.catch_warnings():
+                    warnings.simplefilter("ignore")
+                    pl.reloo(
+                        wrapper, loo_orig=orig, k_thresh=0.0, verbose=True
+                    )
+            assert any("refit" in m.lower() for m in caplog.messages)
+        finally:
+            logging.disable(logging.INFO)
+
+    def test_exact_refits_match_analytic(self, conj):
+        """With k_thresh=0 every observation refits exactly; the result must
+        agree with the closed-form LOO predictive density."""
+        wrapper, orig = conj
+        y = np.asarray(wrapper.model.data["y"])
+        analytic = _analytic_loo_i(y)
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            res = pl.reloo(wrapper, loo_orig=orig, k_thresh=0.0, verbose=False)
+        assert_allclose(res.loo_i.values, analytic, atol=0.06)
+        assert np.all(res.pareto_k.values == 0)
+
+    def test_subsample_initial_pass(self, conj):
+        wrapper, orig = conj
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            res = pl.reloo(
+                wrapper, k_thresh=0.4, verbose=False,
+                use_subsample=True, subsample_observations=15,
+            )
+        assert np.isfinite(res["elpd_loo"])

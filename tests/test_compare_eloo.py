@@ -1,5 +1,7 @@
 """Tests for loo_compare weights and e_loo weighted expectations."""
 
+import warnings
+
 import numpy as np
 import pytest
 from numpy.testing import assert_allclose
@@ -253,3 +255,100 @@ class TestELooBroadcast:
                     np.zeros((5, 200)), ("obs", "__sample__")
                 ),
             )
+
+
+class TestELooBreadth:
+    """Additional e_loo behaviors from the reference battery
+    (``test_e_loo.py``): constant values, extreme weights, eight-schools
+    end-to-end, error paths, numerical stability."""
+
+    @pytest.fixture(scope="class")
+    def eight(self):
+        c = pl.load_example_data("centered_eight")
+        ll = c.log_likelihood.obs.stack(__sample__=("chain", "draw"))
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            lw, k = pl.psislw(-ll, reff=1.0)
+        values = c.posterior.theta.stack(__sample__=("chain", "draw"))
+        return values, lw, k
+
+    def test_eight_schools_all_types(self, eight):
+        values, lw, k = eight
+        for typ in ("mean", "variance", "sd"):
+            r = pl.e_loo(values, log_weights=lw, type=typ)
+            assert r.value.values.shape == (8,)
+            assert np.all(np.isfinite(r.value.values))
+            if typ in ("variance", "sd"):
+                assert np.all(r.value.values > 0)
+        q = pl.e_loo(
+            values, log_weights=lw, type="quantile", probs=[0.1, 0.5, 0.9]
+        )
+        vq = q.value.values
+        assert vq.shape[0] == 3 or vq.shape[-1] == 3
+        qm = np.moveaxis(vq, 0, -1) if vq.shape[0] == 3 else vq
+        assert np.all(qm[..., 0] <= qm[..., 1])
+        assert np.all(qm[..., 1] <= qm[..., 2])
+
+    def test_constant_values(self, eight):
+        values, lw, k = eight
+        const = pl.DataArray(
+            np.full(values.values.shape, 3.25),
+            values.dims,
+            dict(values.coords.items()),
+            "c",
+        )
+        r = pl.e_loo(const, log_weights=lw, type="mean")
+        assert_allclose(r.value.values, 3.25, rtol=1e-12)
+        rv = pl.e_loo(const, log_weights=lw, type="variance")
+        assert_allclose(rv.value.values, 0.0, atol=1e-9)
+
+    def test_extreme_weights(self, rng):
+        # one draw dominates: expectation collapses to that draw's value
+        S, N = 500, 4
+        lw = np.full((N, S), -np.log(S))
+        lw[:, 0] = 30.0
+        lw = lw - np.log(np.sum(np.exp(lw - lw.max(axis=1, keepdims=True)),
+                                axis=1, keepdims=True)) - lw.max(axis=1, keepdims=True)
+        x = rng.normal(size=(N, S))
+        vals = pl.DataArray(x, ("obs", "__sample__"), {}, "x")
+        lw_da = pl.DataArray(lw, ("obs", "__sample__"), {}, "lw")
+        r = pl.e_loo(vals, log_weights=lw_da, type="mean")
+        assert_allclose(r.value.values, x[:, 0], atol=1e-6)
+
+    def test_error_paths(self, eight):
+        values, lw, k = eight
+        with pytest.raises((ValueError, TypeError)):
+            pl.e_loo(values, log_weights=lw, type="median")  # invalid type
+        with pytest.raises((ValueError, TypeError)):
+            pl.e_loo(values, log_weights=lw, type="quantile")  # missing probs
+        with pytest.raises((ValueError, TypeError)):
+            pl.e_loo(
+                values, log_weights=lw, type="quantile", probs=[0.0, 1.5]
+            )
+
+    def test_numerical_stability_large_values(self, eight):
+        values, lw, k = eight
+        big = pl.DataArray(
+            values.values * 1e12,
+            values.dims,
+            dict(values.coords.items()),
+            "big",
+        )
+        r = pl.e_loo(big, log_weights=lw, type="mean")
+        assert np.all(np.isfinite(r.value.values))
+        small = pl.DataArray(
+            values.values * 1e-12,
+            values.dims,
+            dict(values.coords.items()),
+            "small",
+        )
+        r2 = pl.e_loo(small, log_weights=lw, type="sd")
+        assert np.all(np.isfinite(r2.value.values))
+
+    def test_weights_equal_log_weights_path(self, eight):
+        values, lw, k = eight
+        w = np.exp(lw.values)
+        w_da = pl.DataArray(w, lw.dims, dict(lw.coords.items()), "w")
+        r_w = pl.e_loo(values, weights=w_da, type="mean")
+        r_lw = pl.e_loo(values, log_weights=lw, type="mean")
+        assert_allclose(r_w.value.values, r_lw.value.values, rtol=1e-10)

@@ -170,3 +170,98 @@ class TestChEES:
 
         with pytest.raises(ValueError, match="Unknown algorithm"):
             fit(linreg, algorithm="nuts")
+
+
+def _gaussian_target_model(n=60, seed=3):
+    """y ~ N(mu, 1), mu ~ N(0, 10): the posterior is exactly Gaussian, so
+    the Laplace approximation is exact — log_p - log_q is constant."""
+    rng = np.random.default_rng(seed)
+    y = rng.normal(1.2, 1.0, size=n)
+
+    def logp(p, d):
+        return -0.5 * (p["mu"] / 10) ** 2 + jnp.sum(
+            -0.5 * jnp.log(2 * jnp.pi) - 0.5 * (d["y"] - p["mu"]) ** 2
+        )
+
+    def ll(p, d):
+        return -0.5 * jnp.log(2 * jnp.pi) - 0.5 * (d["y"] - p["mu"]) ** 2
+
+    return Model(
+        "gauss", {"y": y}, {"mu": ()}, logp, ll, obs_keys=("y",)
+    )
+
+
+class TestLaplaceExactGaussian:
+    """On an exactly Gaussian posterior the Laplace fit IS the posterior:
+    log_p - log_q must be constant and loo_approximate_posterior must agree
+    with plain PSIS-LOO (reference test_loo_approximate_posterior.py:182)."""
+
+    @pytest.fixture(scope="class")
+    def fit(self):
+        model = _gaussian_target_model()
+        lap = Laplace(model)
+        result = lap.fit(draws=800, chains=2, seed=0)
+        return model, lap, result
+
+    def test_log_ratio_constant(self, fit):
+        model, lap, result = fit
+        log_p = lap.compute_logp()
+        log_q = lap.compute_logq()
+        ratio = log_p - log_q
+        assert np.std(ratio) < 0.02  # constant up to MAP/Hessian tolerance
+
+    def test_approx_posterior_loo_matches_plain(self, fit):
+        model, lap, result = fit
+        log_p = lap.compute_logp()
+        log_q = lap.compute_logq()
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            r_approx = pl.loo_approximate_posterior(
+                result.idata, log_p=log_p, log_q=log_q, reff=1.0, seed=0
+            )
+            r_plain = pl.loo(result.idata, reff=1.0)
+        assert (
+            abs(r_approx["elpd_loo"] - r_plain["elpd_loo"])
+            / abs(r_plain["elpd_loo"])
+            < 0.01
+        )
+        assert hasattr(r_approx, "approximate_posterior")
+
+    def test_map_matches_analytic(self, fit):
+        model, lap, result = fit
+        y = np.asarray(model.data["y"])
+        prec = 1 / 100 + len(y)
+        assert abs(float(result.mu[0]) - y.sum() / prec) < 1e-4
+        assert abs(float(result.H_inv[0, 0]) - 1 / prec) < 1e-4
+
+
+class TestAdviFullrankVsMeanfield:
+    def test_fullrank_captures_correlation(self):
+        # strongly correlated 2-D Gaussian target
+        rng = np.random.default_rng(0)
+        prec = np.linalg.inv(np.array([[1.0, 0.9], [0.9, 1.0]]))
+
+        def logp(p, d):
+            x = jnp.stack([p["a"], p["b"]])
+            return -0.5 * x @ d["prec"] @ x
+
+        def ll(p, d):
+            return jnp.reshape(logp(p, d), (1,))
+
+        model = Model(
+            "corr2", {"prec": prec, "y": np.zeros(1)},
+            {"a": (), "b": ()}, logp, ll, obs_keys=("y",),
+        )
+        fr = ADVI(model, method="fullrank")
+        res_fr = fr.fit(n=4000, draws=2000, seed=1)
+        a = res_fr.idata.posterior.a.values.ravel()
+        b = res_fr.idata.posterior.b.values.ravel()
+        corr_fr = np.corrcoef(a, b)[0, 1]
+        assert corr_fr > 0.7  # fullrank recovers the correlation
+
+        mf = ADVI(model, method="meanfield")
+        res_mf = mf.fit(n=4000, draws=2000, seed=1)
+        am = res_mf.idata.posterior.a.values.ravel()
+        bm = res_mf.idata.posterior.b.values.ravel()
+        corr_mf = np.corrcoef(am, bm)[0, 1]
+        assert abs(corr_mf) < 0.2  # meanfield cannot

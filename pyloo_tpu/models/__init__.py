@@ -9,6 +9,7 @@ refit-based workflows (reloo, k-fold CV, moment matching).
 
 from .advi import ADVI, ADVIResult, compute_log_weights
 from .hmc import sample_hmc
+from .nuts import sample_nuts
 from .laplace import Laplace, LaplaceVIResult
 from .examples import (
     eight_schools_centered,
@@ -20,6 +21,7 @@ from .wrapper import JAXModelWrapper, Model
 
 __all__ = [
     "sample_hmc",
+    "sample_nuts",
     "ADVI",
     "ADVIResult",
     "Laplace",

@@ -114,6 +114,8 @@ def fit(
     """Sample the model's posterior and assemble results.
 
     ``algorithm="hmc"`` (default) uses static-trajectory adaptive HMC;
+    ``algorithm="nuts"`` the iterative multinomial No-U-Turn sampler
+    (:mod:`pyloo_tpu.models.nuts`);
     ``algorithm="chees"`` uses ChEES-adapted trajectory lengths
     (:mod:`pyloo_tpu.models.chees`) — the SIMD-friendly alternative to NUTS.
 
@@ -150,9 +152,21 @@ def fit(
             seed=seed,
             **hmc_kwargs,
         )
+    elif algorithm == "nuts":
+        from .nuts import sample_nuts
+
+        draws_flat, accept = sample_nuts(
+            logp_q,
+            q0,
+            num_warmup=tune,
+            num_samples=draws,
+            num_chains=chains,
+            seed=seed,
+            **hmc_kwargs,
+        )
     else:
         raise ValueError(
-            f"Unknown algorithm {algorithm!r}; use 'hmc' or 'chees'"
+            f"Unknown algorithm {algorithm!r}; use 'hmc', 'nuts' or 'chees'"
         )  # (C, T, D)
     return idata_from_flat_draws(
         model,

@@ -59,16 +59,16 @@ def correlated_gaussian_model(rho=0.8):
 
 
 class TestHmcRecovery:
-    @pytest.fixture(scope="class", params=["hmc", "chees"])
+    @pytest.fixture(scope="class", params=["hmc", "chees", "nuts"])
     def conj_fit(self, request):
         rng = np.random.default_rng(11)
         y = rng.normal(2.0, 1.0, size=40)
         m = conjugate_model(y)
-        kw = (
-            dict(num_leapfrog=16)
-            if request.param == "hmc"
-            else dict(max_leapfrog=64)
-        )
+        kw = {
+            "hmc": dict(num_leapfrog=16),
+            "chees": dict(max_leapfrog=64),
+            "nuts": dict(max_depth=6),
+        }[request.param]
         idata = fit(m, seed=5, algorithm=request.param, **kw, **SETTINGS)
         prec = 1.0 / 100.0 + len(y)
         return idata, y.sum() / prec, 1.0 / np.sqrt(prec), request.param
@@ -133,3 +133,64 @@ class TestRhat:
     def test_rhat_shape_validation(self):
         with pytest.raises(ValueError, match="chain, draw"):
             rhat(np.zeros(10))
+
+
+class TestNuts:
+    def test_tree_depth_and_divergence_stats(self):
+        import jax.numpy as jnp
+
+        from pyloo_tpu.models.nuts import sample_nuts
+
+        draws, acc, stats = sample_nuts(
+            lambda q: -0.5 * jnp.sum(q**2), np.zeros(3),
+            num_warmup=300, num_samples=300, num_chains=2, seed=0,
+            full_stats=True,
+        )
+        assert draws.shape == (2, 300, 3)
+        assert 0.6 < acc <= 1.0
+        assert stats["tree_depth"].max() <= 8
+        assert stats["tree_depth"].mean() >= 1
+        assert stats["diverging"].mean() < 0.05
+
+    def test_correlated_gaussian_recovery(self):
+        import jax.numpy as jnp
+
+        from pyloo_tpu.models.nuts import sample_nuts
+
+        rho = 0.9
+        prec = np.linalg.inv(np.array([[1.0, rho], [rho, 1.0]]))
+        pj = jnp.asarray(prec)
+        draws, acc = sample_nuts(
+            lambda q: -0.5 * q @ pj @ q, np.zeros(2),
+            num_warmup=600, num_samples=1200, num_chains=4, seed=7,
+        )
+        d = draws.reshape(-1, 2)
+        cov = np.cov(d.T)
+        corr = cov[0, 1] / np.sqrt(cov[0, 0] * cov[1, 1])
+        assert abs(corr - rho) < 0.05
+        assert abs(cov[0, 0] - 1.0) < 0.2
+        assert rhat(draws[:, :, 0]) < 1.02
+
+    def test_mass_matrix_handles_scale_mismatch(self):
+        from pyloo_tpu.models.nuts import sample_nuts
+
+        def lp(q):
+            return -0.5 * (q[0] / 10.0) ** 2 - 0.5 * (q[1] * 10.0) ** 2
+
+        draws, acc = sample_nuts(
+            lp, np.zeros(2), num_warmup=500, num_samples=500,
+            num_chains=4, seed=2,
+        )
+        d = draws.reshape(-1, 2)
+        assert abs(d[:, 0].std() / 10.0 - 1.0) < 0.15
+        assert abs(d[:, 1].std() / 0.1 - 1.0) < 0.15
+
+    def test_through_fit_interface(self):
+        m = conjugate_model(np.random.default_rng(0).normal(2, 1, 30))
+        idata = fit(
+            m, draws=300, tune=300, chains=2, seed=4, algorithm="nuts",
+            max_depth=6,
+        )
+        mu = idata.posterior.mu.values
+        assert mu.shape == (2, 300)
+        assert rhat(mu) < 1.05

@@ -169,7 +169,7 @@ class TestChEES:
         from pyloo_tpu.models.wrapper import fit
 
         with pytest.raises(ValueError, match="Unknown algorithm"):
-            fit(linreg, algorithm="nuts")
+            fit(linreg, algorithm="slice")
 
 
 def _gaussian_target_model(n=60, seed=3):

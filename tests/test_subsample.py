@@ -364,3 +364,79 @@ class TestSubsamplingSECalibration:
         frac_extreme = np.mean(np.abs(zs) > 2.58)
         assert frac_extreme < 0.05
         assert 0.5 < np.median(np.abs(zs)) < 0.9
+
+
+class TestISApproximations:
+    """Importance-sampling elpd approximations (reference
+    ``test_approximations_importance_sampling.py``)."""
+
+    @staticmethod
+    def _ll(rng, n=30, S=400, scale=0.4):
+        ll = rng.normal(-1.0, scale, size=(2, S // 2, n))
+        return pl.from_dict(
+            posterior={"mu": rng.normal(size=(2, S // 2))},
+            log_likelihood={"obs": ll},
+        ).log_likelihood.obs.stack(__sample__=("chain", "draw"))
+
+    def test_sis_tis_close_to_lpd_on_tame_data(self):
+        from pyloo_tpu.approximations import (
+            LPDApproximation,
+            SISApproximation,
+            TISApproximation,
+        )
+
+        rng = np.random.default_rng(0)
+        ll = self._ll(rng, scale=0.1)  # near-constant rows: all methods agree
+        lpd = LPDApproximation().compute_approximation(log_likelihood=ll)
+        sis = SISApproximation().compute_approximation(log_likelihood=ll)
+        tis = TISApproximation().compute_approximation(log_likelihood=ll)
+        assert np.asarray(sis).shape == np.asarray(lpd).shape
+        assert_allclose(np.asarray(sis), np.asarray(lpd), atol=0.02)
+        assert_allclose(np.asarray(tis), np.asarray(lpd), atol=0.02)
+
+    def test_n_draws_thinning(self):
+        from pyloo_tpu.approximations import SISApproximation
+
+        rng = np.random.default_rng(1)
+        ll = self._ll(rng)
+        full = SISApproximation().compute_approximation(log_likelihood=ll)
+        thin = SISApproximation().compute_approximation(
+            log_likelihood=ll, n_draws=100
+        )
+        assert np.asarray(thin).shape == np.asarray(full).shape
+        assert np.all(np.isfinite(np.asarray(thin)))
+        # thinned estimate stays close on tame data
+        assert np.abs(np.asarray(thin) - np.asarray(full)).max() < 0.5
+
+    def test_extreme_values_finite(self):
+        from pyloo_tpu.approximations import SISApproximation, TISApproximation
+
+        rng = np.random.default_rng(2)
+        ll = self._ll(rng, scale=60.0)  # e^120-range likelihood ratios
+        for cls in (SISApproximation, TISApproximation):
+            out = np.asarray(cls().compute_approximation(log_likelihood=ll))
+            assert np.all(np.isfinite(out))
+
+    def test_constant_values(self):
+        from pyloo_tpu.approximations import SISApproximation, TISApproximation
+
+        const = pl.DataArray(
+            np.full((10, 200), -2.5), ("obs", "__sample__"), {}, "ll"
+        )
+        for cls in (SISApproximation, TISApproximation):
+            out = np.asarray(cls().compute_approximation(log_likelihood=const))
+            assert_allclose(out, -2.5, rtol=1e-9)
+
+    def test_in_loo_subsample_end_to_end(self, big_idata, full_loo):
+        for approx in ("tis", "sis"):
+            with warnings.catch_warnings():
+                warnings.simplefilter("ignore")
+                r = pl.loo_subsample(
+                    big_idata, observations=600, reff=1.0,
+                    loo_approximation=approx, seed=5,
+                )
+            z = (
+                float(r["elpd_loo"] - full_loo["elpd_loo"])
+                / float(r["subsampling_SE"])
+            )
+            assert abs(z) < 4.0, f"{approx}: z={z}"

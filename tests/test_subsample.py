@@ -440,3 +440,106 @@ class TestISApproximations:
                 / float(r["subsampling_SE"])
             )
             assert abs(z) < 4.0, f"{approx}: z={z}"
+
+
+class TestUpdateSubsampleBreadth:
+    """update_subsample behaviors (reference ``test_loo_subsample.py:187-256``)."""
+
+    def test_validation_wrong_type(self):
+        with pytest.raises(TypeError, match="ELPDData"):
+            pl.update_subsample("not an elpd", observations=10)
+
+    def test_validation_not_subsampled(self, big_idata):
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            full = pl.loo(big_idata, reff=1.0)
+        with pytest.raises((ValueError, AttributeError)):
+            pl.update_subsample(full, observations=10)
+
+    def test_grow_sample_reduces_se(self, big_idata):
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            small = pl.loo_subsample(
+                big_idata, observations=200, reff=1.0, seed=3,
+                loo_approximation="lpd",
+            )
+            grown = pl.update_subsample(small, observations=1500)
+        assert grown["subsample_size"] >= 1500
+        assert float(grown["subsampling_SE"]) < float(small["subsampling_SE"])
+
+    def test_parameter_inheritance(self, big_idata):
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            base = pl.loo_subsample(
+                big_idata, observations=300, reff=1.0, seed=3,
+                loo_approximation="lpd", estimator="srs",
+            )
+            upd = pl.update_subsample(base, observations=400)
+        assert upd["subsample_size"] == 400
+        # estimator/approximation inherited from the original run
+        assert "subsampling" in str(upd)
+
+    def test_parameter_override(self, big_idata):
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            base = pl.loo_subsample(
+                big_idata, observations=300, reff=1.0, seed=3,
+                loo_approximation="lpd", estimator="srs",
+            )
+            upd = pl.update_subsample(
+                base, observations=300, estimator="diff_srs"
+            )
+        assert np.isfinite(upd["elpd_loo"])
+
+    def test_exact_indices(self, big_idata):
+        obs = np.arange(0, 600, 3)
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            base = pl.loo_subsample(
+                big_idata, observations=250, reff=1.0, seed=3,
+                loo_approximation="lpd",
+            )
+            upd = pl.update_subsample(base, observations=obs)
+        assert upd["subsample_size"] == len(obs)
+
+
+class TestSubsampleValidationBreadth:
+    def test_observations_validation(self, big_idata):
+        with pytest.raises(ValueError):
+            _ = pl.loo_subsample(big_idata, observations=0, reff=1.0)
+        with pytest.raises(ValueError):
+            _ = pl.loo_subsample(big_idata, observations=-5, reff=1.0)
+        with pytest.raises(ValueError):
+            _ = pl.loo_subsample(
+                big_idata, observations=np.array([0, 99999999]), reff=1.0
+            )
+
+    def test_nan_handling(self, big_idata):
+        ll = big_idata.log_likelihood.obs.values.copy()
+        ll[0, 0, :5] = np.nan
+        bad = pl.from_dict(
+            posterior={"mu": big_idata.posterior.mu.values},
+            log_likelihood={"obs": ll},
+        )
+        with pytest.warns(UserWarning):
+            r = pl.loo_subsample(
+                bad, observations=100, reff=1.0, loo_approximation="lpd",
+                seed=0,
+            )
+        assert np.isfinite(r["elpd_loo"])
+
+    def test_approximation_draws(self, big_idata):
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            r = pl.loo_subsample(
+                big_idata, observations=200, reff=1.0,
+                loo_approximation="lpd", loo_approximation_draws=100,
+                seed=2,
+            )
+        assert np.isfinite(r["elpd_loo"])
+
+    def test_observations_none_full(self, big_idata, full_loo):
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            r = pl.loo_subsample(big_idata, observations=None, reff=1.0)
+        assert_allclose(r["elpd_loo"], full_loo["elpd_loo"], rtol=1e-9)

@@ -170,51 +170,39 @@ def _kernel_roll(n_segs: int, rows: int, blk: int, in_ref, out_ref):
     seg = jax.lax.div(lane, jnp.int32(rows))
 
     for b in range(blk):
-        v = in_ref[b]  # (256, 128)
-        # phase 1: direction by segment parity (even: desc, odd: asc)
-        flip = jax.lax.rem(seg, jnp.int32(2)) != jnp.int32(0)
-        for k in (2, 4, 8, 16, 32, 64, 128, 256):
-            if k < _N:
-                stage_desc = (
-                    jax.lax.rem(
-                        jax.lax.div(i_sub, jnp.int32(k)), jnp.int32(2)
-                    )
-                    == jnp.int32(0)
-                )
-            else:
-                stage_desc = jnp.full((_N, 1), True)
-            desc = stage_desc != flip  # XOR
-            j = k // 2
-            while j >= 1:
-                v = _cmpex_roll(v, j, desc)
-                j //= 2
-        # merge rounds
-        dist = rows
-        t = 1
-        while dist < _LANES:
-            partner = pltpu.roll(v, shift=jnp.int32(_LANES - dist), axis=1)
-            v = jnp.maximum(v, partner)
-            # re-sort for the segment's role next round: asc where the
-            # surviving segment is the B side of the next pair
-            flip_next = (
-                jax.lax.rem(
-                    jax.lax.div(seg, jnp.int32(1 << t)), jnp.int32(2)
-                )
-                != jnp.int32(0)
-            )
-            j = _N // 2
-            while j >= 1:
-                v = _cmpex_roll(v, j, jnp.logical_not(flip_next))
-                j //= 2
-            dist *= 2
-            t += 1
+        v = _sort_roll(in_ref[b], rows, i_sub, seg)
         out_ref[b] = v[:, :rows]
+
+
+def _cmpex_roll_desc(v, j: int):
+    """All-descending compare-exchange at sublane stride ``j`` (5 vector ops).
+
+    Bit-clear slots keep ``max(v_i, v_{i+j})``, bit-set slots keep
+    ``min(v_{i-j}, v_i)`` — no partner select needed when every pair orders
+    the same way.
+    """
+    down = pltpu.roll(v, shift=jnp.int32(_N - j), axis=0)  # v[i + j]
+    up = pltpu.roll(v, shift=jnp.int32(j), axis=0)  # v[i - j]
+    i = jax.lax.broadcasted_iota(jnp.int32, (_N, 1), 0)
+    has_bit = (
+        jax.lax.rem(jax.lax.div(i, jnp.int32(j)), jnp.int32(2))
+        != jnp.int32(0)
+    )
+    return jnp.where(has_bit, jnp.minimum(v, up), jnp.maximum(v, down))
 
 
 def _sort_roll(v, rows: int, i_sub, seg):
     """The _kernel_roll sort body on one (256, 128) tile: descending lists
-    land in lanes 0..rows-1."""
+    land in lanes 0..rows-1.
+
+    Mixed sort directions are handled by the sign-flip trick: negating the
+    ascending-direction elements (direction is constant within every
+    compare-exchange pair) makes the whole stage descending, so each
+    exchange is the 5-op direction-free form; the negation costs two
+    multiplies per stage group instead of one select per exchange.
+    """
     flip = jax.lax.rem(seg, jnp.int32(2)) != jnp.int32(0)
+    one = jnp.ones((), v.dtype)
     for k in (2, 4, 8, 16, 32, 64, 128, 256):
         if k < _N:
             stage_desc = (
@@ -224,10 +212,13 @@ def _sort_roll(v, rows: int, i_sub, seg):
         else:
             stage_desc = jnp.full((_N, 1), True)
         desc = stage_desc != flip
+        s = jnp.where(desc, one, -one)
+        v = v * s
         j = k // 2
         while j >= 1:
-            v = _cmpex_roll(v, j, desc)
+            v = _cmpex_roll_desc(v, j)
             j //= 2
+        v = v * s
     dist = rows
     t = 1
     while dist < _LANES:
@@ -237,10 +228,13 @@ def _sort_roll(v, rows: int, i_sub, seg):
             jax.lax.rem(jax.lax.div(seg, jnp.int32(1 << t)), jnp.int32(2))
             != jnp.int32(0)
         )
+        s = jnp.where(flip_next, -one, one)
+        v = v * s
         j = _N // 2
         while j >= 1:
-            v = _cmpex_roll(v, j, jnp.logical_not(flip_next))
+            v = _cmpex_roll_desc(v, j)
             j //= 2
+        v = v * s
         dist *= 2
         t += 1
     return v

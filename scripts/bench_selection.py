@@ -92,7 +92,7 @@ def cascade_1024(x, k):
 def pallas_variant(x, k):
     from pyloo_tpu.ops.pallas_topk import pallas_topk_desc
 
-    return pallas_topk_desc(x, k, variant="natural")
+    return pallas_topk_desc(x, k, variant="roll")
 
 
 VARIANTS = {

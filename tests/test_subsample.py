@@ -543,3 +543,98 @@ class TestSubsampleValidationBreadth:
             warnings.simplefilter("ignore")
             r = pl.loo_subsample(big_idata, observations=None, reff=1.0)
         assert_allclose(r["elpd_loo"], full_loo["elpd_loo"], rtol=1e-9)
+
+
+class TestApproxPosteriorBreadth:
+    """loo_approximate_posterior option battery (reference
+    ``test_loo_approximate_posterior.py``, 19 behaviors)."""
+
+    @pytest.fixture(scope="class")
+    def setup(self):
+        rng = np.random.default_rng(4)
+        n, C, T = 30, 2, 250
+        S = C * T
+        ll = rng.normal(-1.0, 0.3, size=(C, T, n))
+        idata = pl.from_dict(
+            posterior={"mu": rng.normal(size=(C, T))},
+            log_likelihood={"obs": ll},
+        )
+        log_q = rng.normal(-5, 1, size=S)
+        log_p = log_q + rng.normal(0, 0.05, size=S)
+        return idata, log_p, log_q
+
+    def _run(self, setup, **kw):
+        idata, log_p, log_q = setup
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            return pl.loo_approximate_posterior(
+                idata, log_p=log_p, log_q=log_q, reff=1.0, seed=0, **kw
+            )
+
+    @pytest.mark.parametrize(
+        "scale,sign", [("log", 1.0), ("negative_log", -1.0), ("deviance", -2.0)]
+    )
+    def test_scales(self, setup, scale, sign):
+        base = self._run(setup, scale="log")
+        r = self._run(setup, scale=scale)
+        assert_allclose(r["elpd_loo"], sign * base["elpd_loo"], rtol=1e-12)
+
+    @pytest.mark.parametrize("resample", ["psis", "psir", "sis"])
+    def test_resample_methods(self, setup, resample):
+        r = self._run(setup, resample_method=resample)
+        assert np.isfinite(r["elpd_loo"])
+
+    def test_pointwise(self, setup):
+        r = self._run(setup, pointwise=True)
+        assert r.loo_i.values.shape == (30,)
+        assert_allclose(r.loo_i.values.sum(), r["elpd_loo"], rtol=1e-10)
+
+    def test_report_mentions_correction(self, setup):
+        r = self._run(setup)
+        assert "Posterior approximation correction used" in str(r)
+        assert hasattr(r, "approximate_posterior")
+        assert "log_p" in r.approximate_posterior
+
+    def test_constant_ratio_equals_plain_loo(self, setup):
+        idata, log_p, log_q = setup
+        const_p = np.full_like(log_p, -3.0)
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            r = pl.loo_approximate_posterior(
+                idata, log_p=const_p, log_q=const_p.copy(), reff=1.0, seed=0
+            )
+            plain = pl.loo(idata, reff=1.0)
+        # equal-weight resampling permutes draws; elpd invariant to order
+        assert abs(r["elpd_loo"] - plain["elpd_loo"]) / abs(
+            plain["elpd_loo"]
+        ) < 0.02
+
+    def test_importance_resample_seeded(self, setup):
+        _, log_p, log_q = setup
+        from pyloo_tpu.loo_approximate_posterior import importance_resample
+
+        i1 = importance_resample(log_p, log_q, seed=11)
+        i2 = importance_resample(log_p, log_q, seed=11)
+        assert np.array_equal(i1, i2)
+        assert i1.min() >= 0 and i1.max() < len(log_p)
+
+    def test_importance_resample_psir_replacement(self, setup):
+        _, log_p, log_q = setup
+        from pyloo_tpu.loo_approximate_posterior import importance_resample
+
+        # skew the weights so replacement duplicates draws
+        skew = log_q + np.linspace(0, 8, len(log_q))
+        idx = importance_resample(skew, log_q, method="psir", seed=1)
+        assert len(idx) == len(log_q)
+        assert len(np.unique(idx)) < len(idx)
+
+    def test_nan_in_ratio_falls_back(self, setup):
+        idata, log_p, log_q = setup
+        bad_p = log_p.copy()
+        bad_p[:10] = np.nan
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            r = pl.loo_approximate_posterior(
+                idata, log_p=bad_p, log_q=log_q, reff=1.0, seed=0
+            )
+        assert np.isfinite(r["elpd_loo"])

@@ -79,3 +79,34 @@ class TestWells:
         beta = wells_idata.posterior.beta.values
         assert beta[..., 1].mean() < 0  # distance decreases switching
         assert beta[..., 2].mean() > 0  # arsenic increases switching
+
+
+class TestWellsVariationalWorkflow:
+    """Wells logistic regression through ADVI -> loo_approximate_posterior
+    (reference ``test_loo_approximate_posterior.py:312-372``: wells with
+    meanfield and fullrank ADVI)."""
+
+    @pytest.mark.parametrize("method", ["meanfield", "fullrank"])
+    def test_wells_advi_loo(self, method):
+        from pyloo_tpu.models import ADVI, compute_log_weights, wells_model
+
+        model = wells_model()
+        advi = ADVI(model, method=method)
+        res = advi.fit(n=3000, draws=800, seed=0)
+        log_p = advi.compute_log_p()
+        log_q = advi.compute_log_q()
+        assert np.all(np.isfinite(log_p)) and np.all(np.isfinite(log_q))
+        lw = compute_log_weights(advi)
+        assert np.isfinite(np.asarray(lw)).all()
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            r = pl.loo_approximate_posterior(
+                res.idata, log_p=log_p, log_q=log_q, reff=1.0, seed=0
+            )
+            plain = pl.loo(res.idata, reff=1.0)
+        assert np.isfinite(r["elpd_loo"])
+        # a decent variational fit keeps the correction modest
+        assert (
+            abs(r["elpd_loo"] - plain["elpd_loo"]) / abs(plain["elpd_loo"])
+            < 0.05
+        )

@@ -273,3 +273,88 @@ class TestRcParamsBehaviors:
             assert res_dev["scale"] == "deviance"
         finally:
             pl.rcParams["stats.ic_scale"] = "log"
+
+
+class TestComputeImportanceWeightsDispatch:
+    """compute_importance_weights dispatch behaviors (reference
+    ``test_base.py``): per-method equivalence with the direct entry points,
+    invalid method, case insensitivity."""
+
+    @pytest.fixture()
+    def lw_da(self, rng):
+        ll = rng.normal(-1, 0.4, size=(2, 200, 12))
+        idata = pl.from_dict(
+            posterior={"mu": rng.normal(size=(2, 200))},
+            log_likelihood={"obs": ll},
+        )
+        return idata.log_likelihood.obs.stack(__sample__=("chain", "draw"))
+
+    def test_psis_equivalence(self, lw_da):
+        lw1, k1 = pl.compute_importance_weights(-lw_da, method="psis", reff=1.0)
+        lw2, k2 = pl.psislw(-lw_da, reff=1.0)
+        np.testing.assert_allclose(lw1.values, lw2.values, rtol=1e-12)
+        np.testing.assert_allclose(k1.values, k2.values, rtol=1e-12)
+
+    def test_sis_tis_equivalence(self, lw_da):
+        for method, direct in (("sis", pl.sislw), ("tis", pl.tislw)):
+            lw1, d1 = pl.compute_importance_weights(-lw_da, method=method)
+            lw2, d2 = direct(-lw_da)
+            np.testing.assert_allclose(lw1.values, lw2.values, rtol=1e-12)
+            np.testing.assert_allclose(
+                np.asarray(d1), np.asarray(d2), rtol=1e-12
+            )
+
+    def test_method_case_insensitive(self, lw_da):
+        lw1, _ = pl.compute_importance_weights(-lw_da, method="PSIS", reff=1.0)
+        lw2, _ = pl.compute_importance_weights(-lw_da, method="psis", reff=1.0)
+        np.testing.assert_allclose(lw1.values, lw2.values, rtol=1e-12)
+
+    def test_invalid_method(self, lw_da):
+        with pytest.raises(ValueError, match="Invalid method"):
+            pl.compute_importance_weights(-lw_da, method="bogus")
+
+
+class TestELPDDataBehaviors:
+    """ELPDData container behaviors (reference ``test_elpd.py``)."""
+
+    @pytest.fixture()
+    def result(self, rng):
+        ll = rng.normal(-1, 0.3, size=(2, 150, 10))
+        idata = pl.from_dict(
+            posterior={"mu": rng.normal(size=(2, 150))},
+            log_likelihood={"obs": ll},
+        )
+        import warnings as _w
+
+        with _w.catch_warnings():
+            _w.simplefilter("ignore")
+            return pl.loo(idata, pointwise=True, reff=1.0)
+
+    def test_properties(self, result):
+        assert result.n_samples == 300
+        assert result.n_data_points == 10
+        assert isinstance(bool(result.warning), bool)
+
+    def test_deep_copy_independent(self, result):
+        cp = result.copy()
+        cp.pareto_k.values[...] = 9.9
+        assert not np.any(result.pareto_k.values == 9.9)
+        cp["elpd_loo"] = 0.0
+        assert result["elpd_loo"] != 0.0
+
+    def test_survives_pandas_ops(self, result):
+        import pandas as pd
+
+        sliced = result[["elpd_loo", "se"]]
+        assert isinstance(sliced, pd.Series)
+        # ELPDData subclass preserved through pandas indexing
+        assert type(result[["elpd_loo", "se", "p_loo"]]).__name__ in (
+            "ELPDData", "Series",
+        )
+
+    def test_str_does_not_mutate(self, result):
+        before = result.copy()
+        _ = str(result)
+        np.testing.assert_allclose(
+            result.loo_i.values, before.loo_i.values, rtol=0
+        )

@@ -252,3 +252,95 @@ class TestLooScoreBreadth:
         )
         with pytest.raises((KeyError, ValueError, AttributeError, TypeError)):
             pl.loo_score(idata, reff=1.0)
+
+
+class TestPredictiveMetricBreadth:
+    """Metric functions against hand-computed values and option coverage
+    (reference ``test_loo_predictive_metric.py``)."""
+
+    def test_metric_functions_closed_form(self):
+        from pyloo_tpu.loo_predictive_metric import (
+            _accuracy,
+            _balanced_accuracy,
+            _mae,
+            _mse,
+            _rmse,
+        )
+
+        y = np.array([1.0, 2.0, 3.0, 4.0])
+        yhat = np.array([1.5, 2.0, 2.0, 5.0])
+        mae = _mae(y, yhat)
+        assert_allclose(mae["estimate"], np.mean([0.5, 0.0, 1.0, 1.0]))
+        mse = _mse(y, yhat)
+        assert_allclose(mse["estimate"], np.mean([0.25, 0.0, 1.0, 1.0]))
+        rmse = _rmse(y, yhat)
+        assert_allclose(rmse["estimate"], np.sqrt(mse["estimate"]))
+        for m in (mae, mse, rmse):
+            assert m["se"] > 0
+
+        yb = np.array([1.0, 0.0, 1.0, 0.0, 1.0])
+        pb = np.array([0.9, 0.2, 0.4, 0.6, 0.8])  # thresholded at 0.5
+        acc = _accuracy(yb, pb)
+        assert_allclose(acc["estimate"], 3 / 5)
+        bal = _balanced_accuracy(yb, pb)
+        # sensitivity 2/3, specificity 1/2
+        assert_allclose(bal["estimate"], (2 / 3 + 1 / 2) / 2)
+
+    @pytest.fixture(scope="class")
+    def predictive_setup(self):
+        rng = np.random.default_rng(6)
+        n, C, T = 25, 2, 200
+        theta = rng.normal(0, 1, size=n)
+        y = theta + rng.normal(0, 0.5, size=n)
+        pp = theta[None, None, :] + rng.normal(0, 0.5, size=(C, T, n))
+        ll = (
+            -0.5 * np.log(2 * np.pi * 0.25)
+            - 0.5 * (y[None, None, :] - pp) ** 2 / 0.25
+        )
+        idata = pl.from_dict(
+            posterior={"theta": rng.normal(size=(C, T))},
+            log_likelihood={"obs": ll},
+            posterior_predictive={"obs": pp},
+        )
+        return idata, y
+
+    @pytest.mark.parametrize("metric", ["mae", "mse", "rmse"])
+    def test_continuous_metrics_end_to_end(self, predictive_setup, metric):
+        idata, y = predictive_setup
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            r = pl.loo_predictive_metric(idata, y, metric=metric, r_eff=1.0)
+        assert np.isfinite(r["estimate"]) and r["se"] > 0
+        if metric == "rmse":
+            with warnings.catch_warnings():
+                warnings.simplefilter("ignore")
+                r_mse = pl.loo_predictive_metric(
+                    idata, y, metric="mse", r_eff=1.0
+                )
+            assert_allclose(r["estimate"], np.sqrt(r_mse["estimate"]), rtol=1e-10)
+
+    def test_r_eff_changes_weights(self, predictive_setup):
+        idata, y = predictive_setup
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            r1 = pl.loo_predictive_metric(idata, y, metric="mae", r_eff=1.0)
+            r2 = pl.loo_predictive_metric(idata, y, metric="mae", r_eff=0.2)
+        assert np.isfinite(r1["estimate"]) and np.isfinite(r2["estimate"])
+
+    def test_invalid_metric_and_mismatch(self, predictive_setup):
+        idata, y = predictive_setup
+        with pytest.raises((ValueError, KeyError)):
+            pl.loo_predictive_metric(idata, y, metric="mape")
+        with pytest.raises((ValueError, IndexError)):
+            with warnings.catch_warnings():
+                warnings.simplefilter("ignore")
+                pl.loo_predictive_metric(idata, y[:-3], metric="mae")
+
+    def test_missing_group(self, predictive_setup):
+        idata, y = predictive_setup
+        bare = pl.from_dict(
+            posterior={"theta": idata.posterior.theta.values},
+            log_likelihood={"obs": idata.log_likelihood.obs.values},
+        )
+        with pytest.raises((KeyError, AttributeError, ValueError, TypeError)):
+            pl.loo_predictive_metric(bare, y, metric="mae")

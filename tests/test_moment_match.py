@@ -396,3 +396,114 @@ class TestExternalPPLIntegration:
             orig.loo_i.values[untouched],
             rtol=1e-10,
         )
+
+
+class TestMomentMatchOptions:
+    """Remaining reference MM behaviors: max_iters, IS-method variants,
+    custom thresholds (``test_loo_moment_match.py`` option tests)."""
+
+    def test_max_iters_monotone_k(self, fitted):
+        model, idata, wrapper, orig = fitted
+        ks = []
+        for iters in (1, 30):
+            with warnings.catch_warnings():
+                warnings.simplefilter("ignore")
+                mm = pl.loo_moment_match(
+                    wrapper, orig, max_iters=iters, split=False, cov=True
+                )
+            ks.append(mm.pareto_k.values.max())
+        assert ks[1] <= ks[0] + 1e-12  # more iterations never hurt max-k
+
+    @pytest.mark.parametrize("method", ["sis", "tis"])
+    def test_is_method_variants(self, fitted, method):
+        model, idata, wrapper, orig = fitted
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            mm = pl.loo_moment_match(
+                wrapper, orig, method=method, split=False, cov=True
+            )
+        assert np.isfinite(mm["elpd_loo"])
+
+    def test_custom_threshold(self, fitted):
+        model, idata, wrapper, orig = fitted
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            mm_low = pl.loo_moment_match(
+                wrapper, orig, k_threshold=0.2, split=False, cov=True
+            )
+            mm_high = pl.loo_moment_match(
+                wrapper, orig, k_threshold=5.0, split=False, cov=True
+            )
+        # threshold above every k: nothing changes
+        assert_allclose(
+            mm_high.loo_i.values, orig.loo_i.values, rtol=1e-12
+        )
+        # low threshold touches more observations
+        changed_low = np.sum(
+            ~np.isclose(mm_low.loo_i.values, orig.loo_i.values)
+        )
+        assert changed_low >= 1
+
+
+class TestParameterConverter:
+    """ParameterConverter round trips with multidimensional parameters
+    (reference ``test_loo_moment_match.py`` converter battery)."""
+
+    @pytest.fixture(scope="class")
+    def mdl(self):
+        import jax.numpy as jnp
+
+        def logp(p, d):
+            return -0.5 * jnp.sum(p["beta"] ** 2) - 0.5 * jnp.sum(
+                p["gamma"] ** 2
+            ) - 0.5 * p["mu"] ** 2
+
+        def ll(p, d):
+            return jnp.zeros(3)
+
+        m = Model(
+            "md",
+            {"y": np.zeros(3)},
+            {"mu": (), "beta": (4,), "gamma": (2, 3)},
+            logp,
+            ll,
+            obs_keys=("y",),
+        )
+        rng = np.random.default_rng(0)
+        flat = rng.normal(size=(2, 50, m.flat_dim))
+        from pyloo_tpu.models.wrapper import idata_from_flat_draws
+
+        idata = idata_from_flat_draws(m, flat, compute_log_likelihood=False)
+        return pl.JAXModelWrapper(m, idata), flat
+
+    def test_flat_dim_and_ordering(self, mdl):
+        from pyloo_tpu.helpers import ParameterConverter
+
+        wrapper, flat = mdl
+        conv = ParameterConverter(wrapper)
+        assert conv.flat_dim == 1 + 4 + 6
+        assert conv.param_names == ["mu", "beta", "gamma"]
+
+    def test_matrix_dict_round_trip(self, mdl):
+        from pyloo_tpu.helpers import ParameterConverter
+
+        wrapper, flat = mdl
+        conv = ParameterConverter(wrapper)
+        mat = flat.reshape(-1, flat.shape[-1])
+        d = conv.matrix_to_dict(mat)
+        assert d["mu"].shape == (100,)
+        assert d["beta"].shape == (100, 4)
+        assert d["gamma"].shape == (100, 2, 3)
+        back = conv.dict_to_matrix(d)
+        assert_allclose(back, mat, rtol=0)
+
+    def test_matches_model_unravel(self, mdl):
+        from pyloo_tpu.helpers import ParameterConverter
+
+        wrapper, flat = mdl
+        conv = ParameterConverter(wrapper)
+        q = flat[0, 0]
+        d = conv.matrix_to_dict(q[None, :])
+        u = wrapper.model.unravel(q)
+        assert_allclose(d["gamma"][0], np.asarray(u["gamma"]), rtol=0)
+        assert_allclose(d["beta"][0], np.asarray(u["beta"]), rtol=0)

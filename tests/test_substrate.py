@@ -358,3 +358,92 @@ class TestELPDDataBehaviors:
         np.testing.assert_allclose(
             result.loo_i.values, before.loo_i.values, rtol=0
         )
+
+
+class TestContainersBreadth:
+    """DataArray/Dataset/InferenceData semantics beyond the basics — the
+    xarray-replacement surface the whole library stands on."""
+
+    @pytest.fixture()
+    def da(self, rng):
+        vals = rng.normal(size=(2, 5, 3))
+        return DataArray(
+            vals,
+            ("chain", "draw", "school"),
+            {"school": np.array(["a", "b", "c"])},
+            "theta",
+        )
+
+    def test_isel_int_vs_list_dims(self, da):
+        one = da.isel(school=1)
+        assert one.dims == ("chain", "draw")
+        lst = da.isel(school=[1])
+        assert lst.dims == ("chain", "draw", "school")
+        assert lst.sizes["school"] == 1
+        np.testing.assert_allclose(lst.values[..., 0], one.values)
+
+    def test_sel_by_coord_label(self, da):
+        b = da.sel(school="b")
+        np.testing.assert_allclose(b.values, da.values[:, :, 1])
+
+    def test_stack_orders_chain_major(self, da):
+        st = da.stack(__sample__=("chain", "draw"))
+        assert st.dims[-1] == "__sample__" or "__sample__" in st.dims
+        flat = st.transpose("school", "__sample__").values
+        want = da.values.reshape(10, 3).T  # chain-major flattening
+        np.testing.assert_allclose(flat, want)
+
+    def test_transpose_and_roundtrip(self, da):
+        tr = da.transpose("school", "chain", "draw")
+        assert tr.shape == (3, 2, 5)
+        back = tr.transpose("chain", "draw", "school")
+        np.testing.assert_allclose(back.values, da.values)
+
+    def test_arithmetic_preserves_metadata(self, da):
+        out = (da * 2.0 + 1.0) - da
+        assert out.dims == da.dims
+        np.testing.assert_allclose(out.values, da.values + 1.0)
+        assert list(out.coords["school"]) == ["a", "b", "c"]
+
+    def test_reductions_drop_dims(self, da):
+        m = da.mean(dim="draw")
+        assert m.dims == ("chain", "school")
+        np.testing.assert_allclose(m.values, da.values.mean(axis=1))
+        total = da.sum()
+        assert np.ndim(np.asarray(total)) == 0 or total.ndim == 0
+
+    def test_copy_is_deep(self, da):
+        cp = da.copy()
+        cp.values[...] = 0.0
+        assert not np.allclose(da.values, 0.0)
+
+    def test_dataset_iteration_and_access(self, da):
+        ds = Dataset({"theta": da, "mu": da.isel(school=0).rename("mu")})
+        assert set(ds.data_vars) == {"theta", "mu"}
+        assert ds["theta"] is ds.theta
+        st = ds.stack(__sample__=("chain", "draw"))
+        assert "__sample__" in st.theta.dims
+
+    def test_inference_data_groups(self, da):
+        idata = InferenceData(posterior=Dataset({"theta": da}))
+        assert hasattr(idata, "posterior")
+        assert "posterior" in repr(idata)
+        with pytest.raises(AttributeError):
+            _ = idata.log_likelihood
+
+    def test_from_dict_coords_and_dims(self, rng):
+        ll = rng.normal(size=(2, 10, 4))
+        idata = pl.from_dict(
+            posterior={"mu": rng.normal(size=(2, 10))},
+            log_likelihood={"obs": ll},
+            coords={"item": np.array([10, 20, 30, 40])},
+            dims={"obs": ["item"]},
+        )
+        obs = idata.log_likelihood.obs
+        assert obs.dims == ("chain", "draw", "item")
+        assert list(obs.coords["item"]) == [10, 20, 30, 40]
+
+    def test_numpy_interop(self, da):
+        arr = np.asarray(da)
+        assert arr.shape == (2, 5, 3)
+        assert float(np.sum(arr)) == pytest.approx(float(da.sum()))

@@ -218,3 +218,39 @@ class TestMultidimObs:
         lw, k = psis_matrix(-flat)
         elpd_i = np.array([np.log(np.sum(np.exp(lw[i] + flat[i]))) for i in range(35)])
         assert_allclose(res.loo_i.values.ravel(), elpd_i, rtol=1e-9)
+
+
+class TestLooRemainingBehaviors:
+    def test_identical_pointwise_warns(self, rng):
+        # reference loo.py:378-381: all loo_i equal suggests a summed logp
+        ll = np.tile(rng.normal(-1, 0.3, size=(2, 200, 1)), (1, 1, 6))
+        idata = pl.from_dict(
+            posterior={"mu": rng.normal(size=(2, 200))},
+            log_likelihood={"obs": ll},
+        )
+        with pytest.warns(UserWarning, match="point-wise LOO is the same"):
+            pl.loo(idata, pointwise=True, reff=1.0)
+
+    def test_var_name_selects_group(self, rng):
+        ll_a = rng.normal(-1, 0.3, size=(2, 150, 8))
+        ll_b = rng.normal(-2, 0.3, size=(2, 150, 5))
+        idata = pl.from_dict(
+            posterior={"mu": rng.normal(size=(2, 150))},
+            log_likelihood={"y1": ll_a, "y2": ll_b},
+        )
+        ra = pl.loo(idata, var_name="y1", reff=1.0)
+        rb = pl.loo(idata, var_name="y2", reff=1.0)
+        assert ra["n_data_points"] == 8
+        assert rb["n_data_points"] == 5
+        assert ra["elpd_loo"] != rb["elpd_loo"]
+        # ambiguous without var_name
+        with pytest.raises((TypeError, ValueError)):
+            pl.loo(idata, reff=1.0)
+
+    def test_moment_match_requires_wrapper_or_fns(self, centered):
+        with pytest.raises((ValueError, TypeError)):
+            with warnings.catch_warnings():
+                warnings.simplefilter("ignore")
+                pl.loo(
+                    centered, pointwise=True, reff=1.0, moment_match=True
+                )

@@ -66,7 +66,11 @@ from .plots import (
 from .loo_predictive_metric import MetricResult, loo_predictive_metric
 from .loo_score import LooScoreResult, loo_score
 from .loo_subsample import loo_subsample, update_subsample
-from .streaming import loo_streaming, loo_subsample_streaming
+from .streaming import (
+    clear_streaming_cache,
+    loo_streaming,
+    loo_subsample_streaming,
+)
 from .psis import psislw
 from .rcparams import rcParams
 from .sis import sislw
@@ -85,6 +89,7 @@ __all__ = [
     "ELPDData",
     "loo",
     "loo_compare",
+    "clear_streaming_cache",
     "loo_streaming",
     "loo_subsample",
     "loo_subsample_streaming",

@@ -196,11 +196,13 @@ def loo_nonfactor(
         df_s = np.asarray(draws_first(post_group[df_var_name]).reshape(S))
         bad_df = df_s <= 0
         if bad_df.any():
-            # reference semantics (loo_nonfactor.py:508-516): warn and give
-            # those draws -inf log-likelihood (zero weight downstream)
+            # deliberate deviation from the reference (loo_nonfactor.py:508-516,
+            # which keeps the draws at -inf and thereby poisons every row's
+            # importance weights): the invalid draws are excluded entirely
             warnings.warn(
                 f"Non-positive degrees of freedom for {int(bad_df.sum())}"
-                " draws. Setting their log-likelihood to -inf.",
+                " draws. Excluding those draws from the LOO computation"
+                f" (effective draw count reduced by {int(bad_df.sum())}).",
                 UserWarning,
                 stacklevel=2,
             )

@@ -46,11 +46,17 @@ class _DAState(NamedTuple):
     count: jnp.ndarray
 
 
-def _count_trailing_ones(n):
-    """Number of trailing 1-bits of int32 ``n`` (bounded unrolled loop)."""
+def _count_trailing_ones(n, bits: int = 16):
+    """Number of trailing 1-bits of int32 ``n`` (bounded unrolled loop).
+
+    ``bits`` must be at least the position of the highest bit ``n`` can carry
+    (the leapfrog counter is bounded by ``2^max_depth``, so callers pass
+    ``max_depth``); inspecting too few bits would silently skip
+    within-subtree U-turn checks for deep subtrees.
+    """
     t = jnp.zeros((), jnp.int32)
     going = jnp.ones((), jnp.bool_)
-    for j in range(16):
+    for j in range(bits):
         bit = jnp.bitwise_and(jnp.right_shift(n, j), 1) == 1
         going = going & bit
         t = t + jnp.where(going, 1, 0)
@@ -149,7 +155,7 @@ def _nuts_trajectory(
             ckpt_p = jnp.where(writable[:, None], p[None, :], ckpt_p)
 
             # U-turn checks for every balanced subtree ending at leaf m
-            t_ones = _count_trailing_ones(m)
+            t_ones = _count_trailing_ones(m, max_depth)
             js = jnp.arange(1, max_depth + 1)
             active = js <= t_ones
 
@@ -363,6 +369,10 @@ def sample_nuts(
     ``(draws, accept_rate, stats)`` where ``stats`` carries per-draw
     ``accept_stat`` / ``tree_depth`` / ``diverging`` arrays (C, T).
     """
+    if not 1 <= max_depth <= 30:
+        raise ValueError(
+            f"max_depth must be in [1, 30] (leaf counter is int32), got {max_depth}"
+        )
     init = np.asarray(init, dtype=np.float64)
     key = jax.random.PRNGKey(seed)
     if init.ndim == 1:

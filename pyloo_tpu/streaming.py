@@ -22,7 +22,8 @@ same :class:`~pyloo_tpu.elpd.ELPDData` as :func:`pyloo_tpu.loo`.
 from __future__ import annotations
 
 import warnings
-from functools import lru_cache, partial
+import weakref
+from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -41,7 +42,7 @@ from .ops.loo_kernels import (
 )
 from .rcparams import rcParams
 
-__all__ = ["loo_streaming", "loo_subsample_streaming"]
+__all__ = ["loo_streaming", "loo_subsample_streaming", "clear_streaming_cache"]
 
 
 def _mesh_sharding(mesh):
@@ -52,23 +53,71 @@ def _mesh_sharding(mesh):
     return NamedSharding(mesh, P("obs", None))
 
 
-@lru_cache(maxsize=64)
+# Compiled chunk-generator programs, keyed WEAKLY on the user's callback so
+# a dropped callable releases its program and every device buffer the jitted
+# closure captured (an lru_cache would pin them for process lifetime).
+_GEN_CACHE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+
+
+def clear_streaming_cache(log_lik_fn=None) -> None:
+    """Drop memoized streaming chunk-generator programs.
+
+    ``loo_streaming`` / ``loo_subsample_streaming`` memoize the compiled
+    generator on the identity of ``log_lik_fn``.  If arrays *captured* by
+    that callable change in place (or its globals are rebound), the cached
+    program would keep computing from the stale baked-in constants — call
+    this (optionally with the specific callable) to force a re-trace.
+    """
+    if log_lik_fn is None:
+        _GEN_CACHE.clear()
+    else:
+        _GEN_CACHE.pop(log_lik_fn, None)
+
+
 def _gen_program(log_lik_fn, chunk_size, n_obs, dtype_str, sharding):
     """Jitted chunk generator, memoized on the user's function object.
 
-    Keying on ``log_lik_fn`` (plus the chunk geometry) means repeated
-    streaming calls with the same model reuse one compiled generator; a
-    closure re-created per call would recompile it every time.
+    Keying on ``log_lik_fn``'s identity (plus the chunk geometry) means
+    repeated streaming calls with the same model reuse one compiled
+    generator; a closure re-created per call would recompile it every time.
+    The flip side: a second call with the *same function object* whose
+    captured arrays were mutated returns stale results — see
+    :func:`clear_streaming_cache`.  Callables that cannot be weak-referenced
+    (e.g. bound methods) are simply not cached.
     """
+    geom_key = (chunk_size, n_obs, dtype_str, sharding)
+    try:
+        per_fn = _GEN_CACHE.get(log_lik_fn)
+        if per_fn is None:
+            per_fn = {}
+            _GEN_CACHE[log_lik_fn] = per_fn
+    except TypeError:
+        per_fn = None
+    if per_fn is not None and geom_key in per_fn:
+        return per_fn[geom_key]
+
     dtype = jnp.dtype(dtype_str)
     kwargs = {} if sharding is None else {"out_shardings": sharding}
 
+    # the generator must not hold a strong reference back to the callback
+    # (the cache VALUE would pin the weak KEY forever); trace-time lookups
+    # go through a weakref, which is live whenever a caller can invoke gen
+    if per_fn is not None:
+        fn_ref = weakref.ref(log_lik_fn)
+    else:
+        fn_ref = lambda: log_lik_fn  # uncacheable callables: plain capture
+
     @partial(jax.jit, **kwargs)
     def gen(c):
+        fn = fn_ref()
+        if fn is None:  # pragma: no cover - caller always holds the callback
+            raise RuntimeError("log_lik_fn was garbage-collected")
         start = c * chunk_size
         idx = start + jnp.arange(chunk_size, dtype=jnp.int32)
-        return log_lik_fn(jnp.minimum(idx, n_obs - 1)).astype(dtype)
+        return fn(jnp.minimum(idx, n_obs - 1)).astype(dtype)
 
+    if per_fn is not None:
+        per_fn[geom_key] = gen
     return gen
 
 
@@ -146,7 +195,10 @@ def loo_streaming(
         Traceable function mapping a ``(chunk,)`` int32 array of observation
         indices to the ``(chunk, n_draws)`` log-likelihood of those
         observations.  It runs under ``jit``; close over device arrays, not
-        Python state.
+        Python state.  The compiled generator is memoized on this object's
+        identity: repeated calls with the same callable are fully warm, but
+        if you mutate the arrays it closes over, call
+        :func:`clear_streaming_cache` first (or pass a fresh callable).
     n_obs, n_draws : int
         Dataset extent.  ``n_draws`` must be at least 2.
     reff : float
@@ -335,6 +387,10 @@ def loo_subsample_streaming(
     subsampling SE.  Pass ``elpd_loo_approximation`` (an ``(n_obs,)``
     array, e.g. a PLPD computed from posterior means) to skip the streamed
     LPD pass.
+
+    ``log_lik_fn`` is memoized on object identity exactly as in
+    :func:`loo_streaming`; see :func:`clear_streaming_cache` if its captured
+    arrays change between calls.
 
     Returns ELPDData with the same rows as :func:`pyloo_tpu.loo_subsample`.
     """

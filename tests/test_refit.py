@@ -106,9 +106,8 @@ class TestLooKfold:
         assert np.isfinite(res["elpd_kfold"])
         assert res.kfold_i.values.shape == (30,)
         assert np.all(res.kfold_i.values != 0)
-        # kfold elpd should be in the same ballpark as PSIS-LOO
-        loo_res = pl.loo(wrapper.idata, reff=1.0)
-        assert abs(res["elpd_kfold"] - loo_res["elpd_loo"]) < 3.0
+        # the tight K=N == analytic-LOO parity check lives in
+        # TestKfoldExactConjugate; here only structural sanity is asserted
         text = str(res)
         assert "fold cross-validation" in text and "elpd_kfold" in text
 

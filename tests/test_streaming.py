@@ -243,3 +243,54 @@ class TestSubsampleStreaming:
             )
         with pytest.raises(TypeError, match="integer"):
             pl.loo_subsample_streaming(fn, n, s, observations=2.5)
+
+
+class TestGeneratorCache:
+    """The chunk-generator memoization contract (weakref cache + clear hook)."""
+
+    def test_clear_forces_retrace_after_captured_state_change(self):
+        rng = np.random.default_rng(3)
+        ll_a = jnp.asarray(rng.normal(-1, 0.5, (64, 40)))
+        ll_b = ll_a + 1.0
+        state = [ll_a]
+
+        def fn(i):
+            return state[0][i]
+
+        r_a = pl.loo_streaming(fn, 64, 40, chunk_size=32)
+        state[0] = ll_b  # mutate captured-by-reference state
+        r_stale = pl.loo_streaming(fn, 64, 40, chunk_size=32)
+        # documented behavior: identity-keyed cache serves the stale program
+        assert_allclose(r_stale["elpd_loo"], r_a["elpd_loo"], rtol=1e-12)
+        pl.clear_streaming_cache(fn)
+        r_fresh = pl.loo_streaming(fn, 64, 40, chunk_size=32)
+        assert abs(r_fresh["elpd_loo"] - r_a["elpd_loo"]) > 1.0
+
+    def test_dropped_callable_releases_cache_entry(self):
+        import gc
+
+        from pyloo_tpu.streaming import _GEN_CACHE
+
+        ll = jnp.asarray(np.random.default_rng(4).normal(-1, 0.5, (32, 24)))
+
+        def fn(i):
+            return ll[i]
+
+        pl.loo_streaming(fn, 32, 24, chunk_size=16)
+        assert fn in _GEN_CACHE
+        n_before = len(_GEN_CACHE)
+        del fn
+        gc.collect()
+        assert len(_GEN_CACHE) < n_before
+
+    def test_clear_all(self):
+        ll = jnp.asarray(np.random.default_rng(5).normal(-1, 0.5, (32, 24)))
+
+        def fn(i):
+            return ll[i]
+
+        pl.loo_streaming(fn, 32, 24, chunk_size=16)
+        pl.clear_streaming_cache()
+        from pyloo_tpu.streaming import _GEN_CACHE
+
+        assert fn not in _GEN_CACHE

@@ -118,7 +118,7 @@ def main():
 
     @jax.jit
     def smooth(chunk, salt):
-        elpd_i, k, lppd_i = loo_scores_psis_fast(-(chunk + salt), m_tail)
+        elpd_i, k, lppd_i, _degen = loo_scores_psis_fast(-(chunk + salt), m_tail)
         return jnp.sum(elpd_i), jnp.sum(k), jnp.sum(lppd_i)
 
     zero = jnp.zeros((), jnp.float32)

@@ -135,6 +135,7 @@ def loo(
 
     good_k = good_k_threshold(n_samples)
     warn_mg = False
+    n_degenerate = 0
 
     matrix, _, _ = as_sample_matrix(log_likelihood)
     obs_dims = tuple(d for d in log_likelihood.dims if d != "__sample__")
@@ -164,15 +165,29 @@ def loo(
         if method == ISMethod.PSIS:
             m_tail = tail_length(n_samples, reff)
             # float32 requests take the scatter-free compact fast path;
-            # float64 keeps the exact-selection parity path
-            kernel = (
-                loo_scores_psis_fast
-                if matrix.dtype == np.float32
-                else loo_scores_psis
-            )
-            elpd_i, diag, lppd_i = apply_rowwise(
-                lambda b: kernel(b, m_tail), matrix, n_outputs=3
-            )
+            # float64 takes the hybrid-selection reference-exact path
+            if matrix.dtype == np.float32:
+                elpd_i, diag, lppd_i, degen = apply_rowwise(
+                    lambda b: loo_scores_psis_fast(b, m_tail),
+                    matrix,
+                    n_outputs=4,
+                )
+                n_degenerate = int(np.sum(np.asarray(degen)))
+                if n_degenerate:
+                    warnings.warn(
+                        f"The float32 fast path left {n_degenerate} observations"
+                        " unsmoothed because their generalized Pareto fit was"
+                        " degenerate (sigma <= 0). Their elpd contributions use"
+                        " raw truncated weights. Recompute in float64"
+                        " (rcParams['device.precision'] = 'float64') for"
+                        " reference-exact handling of these observations.",
+                        UserWarning,
+                        stacklevel=2,
+                    )
+            else:
+                elpd_i, diag, lppd_i = apply_rowwise(
+                    lambda b: loo_scores_psis(b, m_tail), matrix, n_outputs=3
+                )
         elif method == ISMethod.SIS:
             elpd_i, diag, lppd_i = apply_rowwise(
                 loo_scores_sis, matrix, n_outputs=3
@@ -227,6 +242,7 @@ def loo(
             n_data_points, warn_mg, scale, looic, looic_se,
             method=method, good_k=good_k,
         )
+        result.fast_path_degenerate = n_degenerate
         return result
 
     if np.allclose(loo_lppd_i.values, loo_lppd_i.values.flat[0]):
@@ -242,6 +258,9 @@ def loo(
         loo_lppd_i=loo_lppd_i, diagnostic=diagnostic,
         method=method, good_k=good_k,
     )
+    # diagnostic attribute (not a Series row — print templates stay
+    # reference-shaped): rows the float32 fast path left unsmoothed
+    result.fast_path_degenerate = n_degenerate
 
     if jacobian is not None:
         jacobian_adj = np.asarray(jacobian)

@@ -5,21 +5,46 @@ everything ``loo()`` needs per observation: the IS-weighted elpd, the
 diagnostic, and the in-sample lppd.  This fuses what the reference computes
 in three separate ufunc passes over the data (reference ``pyloo/loo.py:286-337``)
 into a single read of the ``(n_obs, S)`` tensor.
+
+Two PSIS variants share one scoring core (:func:`_psis_tail_scores`):
+
+* ``loo_scores_psis`` — the REFERENCE-EXACT path (float64 semantics:
+  NaN-poisoning ``gpinv`` on sigma <= 0, strict-``>`` tie membership,
+  reference ``pyloo/psis.py:114-231``).  Selection runs at float32 speed via
+  :func:`~pyloo_tpu.ops.selection.topk_hybrid_f64` (f32-proxy candidates,
+  f64 gather + narrow re-select, provable per-row exactness certificate with
+  a full-width f64 fallback), so the exact path no longer pays TPU's
+  emulated-f64 full-row sort.
+* ``loo_scores_psis_fast`` — the float32 throughput path (Pallas fused
+  prepass / segmented cascade); diverges from the reference only on fit
+  degeneracies (sigma <= 0 rows keep their unsmoothed tail) and reports
+  those rows in a fourth per-row ``degenerate`` output.
+
+Both are scatter-free.  Identity making this possible: with
+``x = -ll - C`` (C the row max of ``-ll``), every non-tail element satisfies
+``x_smoothed + ll = -C`` exactly, so
+
+    lse(x_s + ll) = -C + log((S - n_tail) + sum_tail exp(s_j - x_j))
+    lse(x_s)      = log(sum_nontail exp(x) + sum_tail exp(s_j))
+
+and the elpd closes over the ``(B, M)`` compacted tail — no scatter back
+into the ``(B, S)`` array, no full sort.
 """
 
 from __future__ import annotations
 
+import math
 from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .lse import logsumexp
-from .selection import topk_vals_desc
+from .selection import topk_hybrid_f64, topk_vals_desc
 from .psis import (
     _gpdfit_batch,
     _log1mexp,
-    psislw_batch,
     sislw_batch,
     tislw_batch,
 )
@@ -33,67 +58,51 @@ __all__ = [
     "waic_scores",
 ]
 
-
-@partial(jax.jit, static_argnames=("tail_max",))
-def loo_scores_psis(log_lik, tail_max: int):
-    """(B, S) log-lik -> (elpd_i, pareto_k, lppd_i), all (B,)."""
-    S = log_lik.shape[1]
-    lw, k = psislw_batch(-log_lik, tail_max)
-    elpd_i = logsumexp(lw + log_lik, axis=1)
-    lppd_i = logsumexp(log_lik, axis=1, b_inv=S)
-    return elpd_i, k, lppd_i
+_CUTOFF_FLOOR = float(np.log(np.finfo(np.float64).tiny))
 
 
-@partial(jax.jit, static_argnames=("tail_max",))
-def loo_scores_psis_fast(log_lik, tail_max: int):
-    """Scatter-free PSIS-LOO scores over compact top-k arrays (fast path).
+def _psis_tail_scores(tail_vals, xcutoff, log_ntl, C, S: int, *, exact: bool):
+    """Fused GPD fit + smoothing + elpd reductions over the compacted tail.
 
-    Identity making this possible: with x = -ll - C (C the row max of -ll),
-    every non-tail element satisfies x_smoothed + ll = -C exactly, so
+    Parameters
+    ----------
+    tail_vals : (B, M) array
+        Descending shifted top-M values (the candidate tail, cutoff slot
+        excluded).
+    xcutoff : (B,) array
+        Tail cutoff: ``max((M+1)-th order statistic, log(float64 tiny))``
+        (reference ``pyloo/psis.py:89-90``).
+    log_ntl : (B,) array
+        ``log sum_{x <= xcutoff} exp(x)`` over the full shifted row (the
+        non-tail mass, complementary to the strict-``>`` tail membership).
+    C : (B,) array
+        Row max of the raw ``x = -log_lik``.
+    S : int
+        Full row width (draw count).
+    exact : bool (static)
+        True: reference semantics — rows whose GPD fit yields sigma <= 0
+        are NaN-poisoned exactly like reference ``gpinv``
+        (``pyloo/psis.py:211-231``).  False: throughput semantics — those
+        rows keep their unsmoothed tail and are flagged in ``degenerate``.
 
-        lse(x_s + ll) = -C + log((S - n_tail) + sum_tail exp(s_j - x_j))
-        lse(x_s)      = log(sum_nontail exp(x) + sum_tail exp(s_j))
-
-    and the elpd closes over the (B, M) compacted tail — no scatter back into
-    the (B, S) array, no full sort.  Tail selection is the exact segmented
-    cascade in ``selection.topk_vals_desc`` (~1.5x over single-stage
-    ``approx_max_k`` on TPU); intended for the float32 throughput path.
+    Returns
+    -------
+    (elpd_i, khat, degenerate) : ((B,), (B,), (B,) bool)
     """
-    x_raw = -log_lik
-    B, S = x_raw.shape
-    dtype = x_raw.dtype
-    M = tail_max
-    # reference cutoff floor: log of float64-tiny (psis.py:90); representable
-    # as a float32 VALUE, and the log-domain fit never exponentiates it
-    import numpy as _np
-
-    cutoff_floor = jnp.asarray(
-        float(_np.log(_np.finfo(_np.float64).tiny)), dtype
-    )
-
-    from .selection import _pallas_applicable
-
-    use_fused = _pallas_applicable(x_raw, M + 1)
-    if use_fused:
-        # one VMEM visit computes the sorted tail AND every full-row
-        # reduction (row max, non-tail mass, lppd logsumexp)
-        from .pallas_topk import pallas_loo_prepass
-
-        vals, C1, log_ntl, log_sum_ll = pallas_loo_prepass(x_raw, M + 1)
-        C = C1[:, None]
-    else:
-        C = jnp.max(x_raw, axis=1, keepdims=True)
-        x = x_raw - C
-        vals = topk_vals_desc(x, M + 1)  # descending (B, M+1), exact
-    xcutoff = jnp.maximum(vals[:, M], cutoff_floor)  # (B,)
-    tail_vals = vals[:, :M]
-    in_tail = tail_vals > xcutoff[:, None]
+    dtype = tail_vals.dtype
+    M = tail_vals.shape[1]
+    in_tail = tail_vals > xcutoff[:, None]  # strict, preserves tie semantics
     n_tail = jnp.sum(in_tail.astype(jnp.int32), axis=1)
     nf = n_tail.astype(dtype)
 
     # everything stays in DESCENDING layout: the GPD fit takes masked sums
     # (order-free) plus two single-element order statistics, and the plotting
     # position of descending slot d is (n - d - 0.5)/n — no (B, M) gathers.
+    # Tie note: within a run of equal tail values the reference assigns
+    # ascending plotting positions by stable argsort order; the multiset of
+    # smoothed values over the run is permutation-invariant, so every SUM
+    # below (and hence elpd) is identical — order only matters for
+    # element-level weights, which this scatter-free kernel never emits.
     slot = jnp.arange(M, dtype=jnp.int32)
     slot_valid = slot[None, :] < n_tail[:, None]
     gap = jnp.minimum(xcutoff[:, None] - tail_vals, 0.0)
@@ -125,33 +134,26 @@ def loo_scores_psis_fast(log_lik, tail_max: int):
     smoothed = jnp.logaddexp(log_sigma[:, None] + log_q, xcutoff[:, None])
     smoothed = jnp.minimum(smoothed, 0.0)  # truncate weights at exp(0)
 
-    # Throughput-path divergence from the reference: rows whose fit yields
-    # sigma <= 0 (a float32 fit degeneracy; the same rows are clean in
-    # float64) fall back to the UNSMOOTHED tail instead of the reference's
-    # NaN poisoning (psis.py gpinv semantics, preserved by the exact
-    # float64 path in psislw_batch).
-    smooth_ok = (n_tail > 4) & jnp.isfinite(k) & (sign_sigma > 0)
+    would_smooth = (n_tail > 4) & jnp.isfinite(k)
+    degenerate = would_smooth & (sign_sigma <= 0)
+    if exact:
+        # reference gpinv semantics: sigma <= 0 poisons the row with NaN
+        smoothed = jnp.where(sign_sigma[:, None] > 0, smoothed, jnp.nan)
+        smooth_ok = would_smooth
+    else:
+        # throughput-path divergence: degenerate fits (a float32 artifact;
+        # the same rows are clean in float64) keep the unsmoothed tail
+        smooth_ok = would_smooth & (sign_sigma > 0)
     s_vals = jnp.where(smooth_ok[:, None], smoothed, tail_vals)
 
     # Row reductions, all in log domain.  Two pitfalls make the "obvious"
     # exp-space forms wrong (caught by TestFastPathAdversarial):
     #   * sum(exp(x)) - sum(exp(tail)) cancels catastrophically when the tail
-    #     carries ~all of the exp mass (heavy-tail rows): the fp noise floor
-    #     eps*sum replaces the true non-tail mass and shifts elpd by nats.
-    #     The non-tail mass is summed directly under the x <= xcutoff mask
-    #     (exactly complementary to the strict > tail membership).
+    #     carries ~all of the exp mass (heavy-tail rows) — the non-tail mass
+    #     must be summed directly under the x <= xcutoff mask (done by the
+    #     caller, who owns the full row).
     #   * exp(s - x) overflows float32 whenever the cutoff sits below
     #     ~-88, so the tail ratio sum runs as a max-shifted logsumexp.
-    if not use_fused:
-        nontail_mask = x <= xcutoff[:, None]
-        m1 = jnp.max(jnp.where(nontail_mask, x, -jnp.inf), axis=1)
-        m1s = jnp.where(jnp.isfinite(m1), m1, 0.0)
-        log_ntl = m1s + jnp.log(
-            jnp.sum(
-                jnp.where(nontail_mask, jnp.exp(x - m1s[:, None]), 0.0),
-                axis=1,
-            )
-        )
     lse_s = logsumexp(jnp.where(slot_valid, s_vals, -jnp.inf), axis=1)
     denom = jnp.logaddexp(log_ntl, lse_s)
 
@@ -160,14 +162,109 @@ def loo_scores_psis_fast(log_lik, tail_max: int):
     dms = jnp.where(jnp.isfinite(dm), dm, 0.0)
     lse_d = dms + jnp.log(jnp.sum(jnp.exp(d - dms[:, None]), axis=1))
     numer = jnp.logaddexp(jnp.log(S - nf), lse_d)
-    elpd_i = -C[:, 0] + numer - denom
+    elpd_i = -C + numer - denom
+
+    khat = jnp.where(n_tail <= 4, jnp.inf, k)
+    return elpd_i, khat, degenerate
+
+
+def _nontail_mass(x, xcutoff):
+    """log sum over {x <= xcutoff} of exp(x), max-shifted (full-row pass)."""
+    nontail_mask = x <= xcutoff[:, None]
+    m1 = jnp.max(jnp.where(nontail_mask, x, -jnp.inf), axis=1)
+    m1s = jnp.where(jnp.isfinite(m1), m1, 0.0)
+    return m1s + jnp.log(
+        jnp.sum(jnp.where(nontail_mask, jnp.exp(x - m1s[:, None]), 0.0), axis=1)
+    )
+
+
+@partial(jax.jit, static_argnames=("tail_max",))
+def loo_scores_psis(log_lik, tail_max: int):
+    """(B, S) log-lik -> (elpd_i, pareto_k, lppd_i), reference-exact.
+
+    Semantics match reference ``pyloo/psis.py:114-231`` driven through
+    ``pyloo/loo.py:286-337``: strict-``>`` tie membership, float64-tiny
+    cutoff floor, NaN poisoning of sigma <= 0 fits.  In float64 on wide
+    rows, tail selection runs on a float32 proxy with a per-row exactness
+    certificate (``topk_hybrid_f64``); certificate failure (adversarial
+    f32-tie pileups at the boundary) falls back to full-width f64 top_k for
+    the batch, so the result is always exact.
+    """
+    x_raw = -log_lik
+    B, S = x_raw.shape
+    dtype = x_raw.dtype
+    M = tail_max
+    cutoff_floor = jnp.asarray(_CUTOFF_FLOOR, dtype)
+
+    C1 = jnp.max(x_raw, axis=1)
+    x = x_raw - C1[:, None]
+
+    use_hybrid = dtype == jnp.dtype(jnp.float64) and S >= 2 * (M + 1 + 64)
+    if use_hybrid:
+        vals_h, ok = topk_hybrid_f64(x, M + 1)
+        vals = jax.lax.cond(
+            jnp.all(ok),
+            lambda: vals_h,
+            lambda: jax.lax.top_k(x, M + 1)[0],
+        )
+    else:
+        vals = jax.lax.top_k(x, M + 1)[0]
+
+    xcutoff = jnp.maximum(vals[:, M], cutoff_floor)
+    log_ntl = _nontail_mass(x, xcutoff)
+    elpd_i, khat, _ = _psis_tail_scores(
+        vals[:, :M], xcutoff, log_ntl, C1, S, exact=True
+    )
+    lppd_i = logsumexp(log_lik, axis=1, b_inv=S)
+    return elpd_i, khat, lppd_i
+
+
+@partial(jax.jit, static_argnames=("tail_max",))
+def loo_scores_psis_fast(log_lik, tail_max: int):
+    """Scatter-free PSIS-LOO scores over compact top-k arrays (fast path).
+
+    Returns ``(elpd_i, pareto_k, lppd_i, degenerate)``, all ``(B,)``;
+    ``degenerate`` flags rows whose float32 GPD fit produced sigma <= 0 and
+    therefore kept their UNSMOOTHED tail (the reference — and the exact
+    float64 path — would NaN-poison those rows instead; the flag lets
+    callers surface the divergence).
+
+    Tail selection is the fused Pallas prepass (one VMEM visit computes the
+    sorted tail AND every full-row reduction) where supported, else the
+    exact segmented ``approx_max_k`` cascade; intended for the float32
+    throughput path.
+    """
+    x_raw = -log_lik
+    B, S = x_raw.shape
+    dtype = x_raw.dtype
+    M = tail_max
+    cutoff_floor = jnp.asarray(_CUTOFF_FLOOR, dtype)
+
+    from .selection import _pallas_applicable
+
+    use_fused = _pallas_applicable(x_raw, M + 1)
+    if use_fused:
+        from .pallas_topk import pallas_loo_prepass
+
+        vals, C1, log_ntl, log_sum_ll = pallas_loo_prepass(x_raw, M + 1)
+    else:
+        C1 = jnp.max(x_raw, axis=1)
+        x = x_raw - C1[:, None]
+        vals = topk_vals_desc(x, M + 1)  # descending (B, M+1), exact
+
+    xcutoff = jnp.maximum(vals[:, M], cutoff_floor)
+    if not use_fused:
+        log_ntl = _nontail_mass(x, xcutoff)
+
+    elpd_i, khat, degenerate = _psis_tail_scores(
+        vals[:, :M], xcutoff, log_ntl, C1, S, exact=False
+    )
 
     if use_fused:
         lppd_i = log_sum_ll - jnp.log(jnp.asarray(S, dtype))
     else:
         lppd_i = logsumexp(log_lik, axis=1, b_inv=S)
-    khat = jnp.where(n_tail <= 4, jnp.inf, k)
-    return elpd_i, khat, lppd_i
+    return elpd_i, khat, lppd_i, degenerate
 
 
 @jax.jit

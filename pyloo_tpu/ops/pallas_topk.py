@@ -1,4 +1,4 @@
-"""Pallas TPU kernel: exact per-row top-256 selection, descending.
+"""Pallas TPU kernel: exact per-row top-k selection (k <= 512), descending.
 
 The fast-path PSIS pipeline needs the top-(M+1) values of every row of a
 ``(B, S)`` log-weight array (M ~ 190 at S = 4000).  XLA's top-k family lowers
@@ -42,8 +42,19 @@ from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["pallas_topk_desc", "pallas_loo_prepass", "supports"]
 
-_N = 256  # per-lane list length; also the max supported k
+_N = 256  # default per-lane list length (k <= 256); k <= 512 uses 512
 _LANES = 128
+
+
+def _list_height(k: int) -> int | None:
+    """Smallest supported per-lane list height covering ``k`` (256 or 512)."""
+    if k <= 0:
+        return None
+    if k <= 256:
+        return 256
+    if k <= 512:
+        return 512
+    return None
 
 # tracing the fully unrolled sort network (~100 stages x 4 row-blocks of
 # chained ops) exceeds CPython's default 1000-frame recursion limit
@@ -52,8 +63,13 @@ if sys.getrecursionlimit() < 100_000:
 
 
 def supports(s: int, k: int) -> bool:
-    """Shapes this kernel handles: k <= 256 and <= 16 segments of 256."""
-    return 0 < k <= _N and s <= _N * 16 and s >= 2
+    """Shapes this kernel handles: k <= 512 and <= 64 segments per row.
+
+    k <= 256 uses 256-tall per-lane lists (S up to 16384); 256 < k <= 512
+    uses 512-tall lists (S up to 32768).
+    """
+    n = _list_height(k)
+    return n is not None and 2 <= s <= n * 64
 
 
 def _cmpex_desc(v, j: int):
@@ -155,35 +171,36 @@ def _cmpex_roll(v, j: int, desc):
     return jnp.where(keep_hi, hi, lo)
 
 
-def _kernel_roll(n_segs: int, rows: int, blk: int, in_ref, out_ref):
+def _kernel_roll(n_segs: int, rows: int, blk: int, n: int, in_ref, out_ref):
     """Rotate-based variant: no value reshapes, no sublane reversal.
 
-    Phase 1 sorts each lane's 256-list descending or ascending by segment
+    Phase 1 sorts each lane's ``n``-list descending or ascending by segment
     parity; each merge round then reduces to an elementwise ``max`` of a
-    desc/asc pair (the half-cleaner needs no flip), and the 8-stage bitonic
-    re-sort orders the result for the segment's role in the NEXT round.
+    desc/asc pair (the half-cleaner needs no flip), and the log2(n)-stage
+    bitonic re-sort orders the result for the segment's role in the NEXT
+    round.
     """
-    i_sub = jax.lax.broadcasted_iota(jnp.int32, (_N, 1), 0)
+    i_sub = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, _LANES), 1)
     # all scalar arithmetic in explicit int32: mixing Python ints with
     # kernel tracers under jax_enable_x64 recurses in dtype promotion
     seg = jax.lax.div(lane, jnp.int32(rows))
 
     for b in range(blk):
-        v = _sort_roll(in_ref[b], rows, i_sub, seg)
+        v = _sort_roll(in_ref[b], rows, i_sub, seg, n)
         out_ref[b] = v[:, :rows]
 
 
-def _cmpex_roll_desc(v, j: int):
+def _cmpex_roll_desc(v, j: int, n: int):
     """All-descending compare-exchange at sublane stride ``j`` (5 vector ops).
 
     Bit-clear slots keep ``max(v_i, v_{i+j})``, bit-set slots keep
     ``min(v_{i-j}, v_i)`` — no partner select needed when every pair orders
     the same way.
     """
-    down = pltpu.roll(v, shift=jnp.int32(_N - j), axis=0)  # v[i + j]
+    down = pltpu.roll(v, shift=jnp.int32(n - j), axis=0)  # v[i + j]
     up = pltpu.roll(v, shift=jnp.int32(j), axis=0)  # v[i - j]
-    i = jax.lax.broadcasted_iota(jnp.int32, (_N, 1), 0)
+    i = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
     has_bit = (
         jax.lax.rem(jax.lax.div(i, jnp.int32(j)), jnp.int32(2))
         != jnp.int32(0)
@@ -191,8 +208,8 @@ def _cmpex_roll_desc(v, j: int):
     return jnp.where(has_bit, jnp.minimum(v, up), jnp.maximum(v, down))
 
 
-def _sort_roll(v, rows: int, i_sub, seg):
-    """The _kernel_roll sort body on one (256, 128) tile: descending lists
+def _sort_roll(v, rows: int, i_sub, seg, n: int):
+    """The _kernel_roll sort body on one (n, 128) tile: descending lists
     land in lanes 0..rows-1.
 
     Mixed sort directions are handled by the sign-flip trick: negating the
@@ -203,22 +220,24 @@ def _sort_roll(v, rows: int, i_sub, seg):
     """
     flip = jax.lax.rem(seg, jnp.int32(2)) != jnp.int32(0)
     one = jnp.ones((), v.dtype)
-    for k in (2, 4, 8, 16, 32, 64, 128, 256):
-        if k < _N:
+    k = 2
+    while k <= n:
+        if k < n:
             stage_desc = (
                 jax.lax.rem(jax.lax.div(i_sub, jnp.int32(k)), jnp.int32(2))
                 == jnp.int32(0)
             )
         else:
-            stage_desc = jnp.full((_N, 1), True)
+            stage_desc = jnp.full((n, 1), True)
         desc = stage_desc != flip
         s = jnp.where(desc, one, -one)
         v = v * s
         j = k // 2
         while j >= 1:
-            v = _cmpex_roll_desc(v, j)
+            v = _cmpex_roll_desc(v, j, n)
             j //= 2
         v = v * s
+        k *= 2
     dist = rows
     t = 1
     while dist < _LANES:
@@ -230,9 +249,9 @@ def _sort_roll(v, rows: int, i_sub, seg):
         )
         s = jnp.where(flip_next, -one, one)
         v = v * s
-        j = _N // 2
+        j = n // 2
         while j >= 1:
-            v = _cmpex_roll_desc(v, j)
+            v = _cmpex_roll_desc(v, j, n)
             j //= 2
         v = v * s
         dist *= 2
@@ -255,30 +274,30 @@ def _lane_tree(v, op, rows: int):
 
 
 def _kernel_fused(
-    n_segs: int, rows: int, blk: int, k_cut: int, floor: float,
+    n_segs: int, rows: int, blk: int, k_cut: int, floor: float, n: int,
     in_ref, out_ref, aux_ref,
 ):
     """Sort + fused per-row reductions for the PSIS fast path.
 
-    Per row (one VMEM visit of the raw data): the shifted sorted top-256,
+    Per row (one VMEM visit of the raw data): the shifted sorted top-``n``,
     the row max C, the tail cutoff (order statistic ``k_cut`` with the
     reference float64-tiny floor, ``pyloo/psis.py:90``), the non-tail exp
     mass relative to the cutoff, and the lppd logsumexp pieces — removing
     three full HBM passes from the XLA side of ``loo_scores_psis_fast``.
     """
-    i_sub = jax.lax.broadcasted_iota(jnp.int32, (_N, 1), 0)
+    i_sub = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, _LANES), 1)
     seg = jax.lax.div(lane, jnp.int32(rows))
     lane_ok = lane < jnp.int32(rows)
 
     for b in range(blk):
-        v0 = in_ref[b]  # (256, 128) raw x = -log_lik, NOT shifted
+        v0 = in_ref[b]  # (n, 128) raw x = -log_lik, NOT shifted
         c_row = _lane_tree(
             jnp.max(v0, axis=0, keepdims=True), jnp.maximum, rows
         )  # (1, 128): every lane already holds its row's max
         xs = v0 - c_row
 
-        v = _sort_roll(xs, rows, i_sub, seg)
+        v = _sort_roll(xs, rows, i_sub, seg, n)
 
         xcut = jnp.maximum(v[k_cut : k_cut + 1, :], floor)  # (1, 128)
         # valid only in lanes < rows; rebroadcast to all segment lanes
@@ -320,11 +339,12 @@ def pallas_loo_prepass(x_raw, k: int, *, interpret: bool = False):
     b_in, s = x_raw.shape
     if not supports(s, k):
         raise ValueError(f"pallas_loo_prepass does not support S={s}, k={k}")
+    n = _list_height(k)
     n_segs = 1
-    while n_segs * _N < s:
+    while n_segs * n < s:
         n_segs *= 2
     rows = _LANES // n_segs
-    s_pad = n_segs * _N
+    s_pad = n_segs * n
 
     blk = 4
     rows_per_step = rows * blk
@@ -339,27 +359,27 @@ def pallas_loo_prepass(x_raw, k: int, *, interpret: bool = False):
             constant_values=-jnp.inf,
         )
     xt = (
-        xp.reshape(grid, blk, rows, n_segs, _N)
+        xp.reshape(grid, blk, rows, n_segs, n)
         .transpose(0, 1, 4, 3, 2)
-        .reshape(grid * blk, _N, _LANES)
+        .reshape(grid * blk, n, _LANES)
     )
 
     import numpy as _np
 
     floor = float(_np.log(_np.finfo(_np.float64).tiny))
     out, aux = pl.pallas_call(
-        partial(_kernel_fused, n_segs, rows, blk, k - 1, floor),
+        partial(_kernel_fused, n_segs, rows, blk, k - 1, floor, n),
         grid=(grid,),
         in_specs=[
             pl.BlockSpec(
-                (blk, _N, _LANES),
+                (blk, n, _LANES),
                 lambda j: (j, 0 * j, 0 * j),
                 memory_space=pltpu.VMEM,
             )
         ],
         out_specs=(
             pl.BlockSpec(
-                (blk, _N, rows),
+                (blk, n, rows),
                 lambda j: (j, 0 * j, 0 * j),
                 memory_space=pltpu.VMEM,
             ),
@@ -370,16 +390,16 @@ def pallas_loo_prepass(x_raw, k: int, *, interpret: bool = False):
             ),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((grid * blk, _N, rows), x_raw.dtype),
+            jax.ShapeDtypeStruct((grid * blk, n, rows), x_raw.dtype),
             jax.ShapeDtypeStruct((grid * blk, 8, _LANES), x_raw.dtype),
         ),
         interpret=interpret,
     )(xt)
 
     vals = (
-        out.reshape(grid, blk, _N, rows)
+        out.reshape(grid, blk, n, rows)
         .transpose(0, 1, 3, 2)
-        .reshape(b_pad, _N)[:b_in, :k]
+        .reshape(b_pad, n)[:b_in, :k]
     )
     per_row = aux[:, :, :rows].transpose(0, 2, 1).reshape(b_pad, 8)[:b_in]
     c_row = per_row[:, 0]
@@ -469,11 +489,17 @@ def pallas_topk_desc(x, k: int, *, interpret: bool = False, variant: str = "roll
     b_in, s = x.shape
     if not supports(s, k):
         raise ValueError(f"pallas_topk_desc does not support S={s}, k={k}")
+    n = _list_height(k)
     n_segs = 1
-    while n_segs * _N < s:
+    while n_segs * n < s:
         n_segs *= 2
     rows = _LANES // n_segs
-    s_pad = n_segs * _N
+    s_pad = n_segs * n
+
+    if variant != "roll" and n != _N:
+        raise ValueError(
+            f"variant {variant!r} supports only k <= {_N}; use 'roll'"
+        )
 
     if variant == "natural":
         r_blk = 8  # rows per grid step (8 x 4096 f32 = 128 KB = 64 vregs)
@@ -520,18 +546,21 @@ def pallas_topk_desc(x, k: int, *, interpret: bool = False, variant: str = "roll
         )
     # lane layout: l = seg * rows + row  (roll by `rows` aligns seg pairs)
     xt = (
-        xp.reshape(grid, blk, rows, n_segs, _N)
+        xp.reshape(grid, blk, rows, n_segs, n)
         .transpose(0, 1, 4, 3, 2)
-        .reshape(grid * blk, _N, _LANES)
+        .reshape(grid * blk, n, _LANES)
     )
 
-    kern = _kernel_roll if variant == "roll" else _kernel
+    if variant == "roll":
+        kern = partial(_kernel_roll, n_segs, rows, blk, n)
+    else:
+        kern = partial(_kernel, n_segs, rows, blk)
     out = pl.pallas_call(
-        partial(kern, n_segs, rows, blk),
+        kern,
         grid=(grid,),
         in_specs=[
             pl.BlockSpec(
-                (blk, _N, _LANES),
+                (blk, n, _LANES),
                 # 0 * j keeps the literal zeros i32 under jax_enable_x64
                 # (Mosaic rejects i64 block indices)
                 lambda j: (j, 0 * j, 0 * j),
@@ -539,17 +568,17 @@ def pallas_topk_desc(x, k: int, *, interpret: bool = False, variant: str = "roll
             )
         ],
         out_specs=pl.BlockSpec(
-            (blk, _N, rows),
+            (blk, n, rows),
             lambda j: (j, 0 * j, 0 * j),
             memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct((grid * blk, _N, rows), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((grid * blk, n, rows), x.dtype),
         interpret=interpret,
     )(xt)
 
     res = (
-        out.reshape(grid, blk, _N, rows)
+        out.reshape(grid, blk, n, rows)
         .transpose(0, 1, 3, 2)
-        .reshape(b_pad, _N)[:b_in, :k]
+        .reshape(b_pad, n)[:b_in, :k]
     )
     return res

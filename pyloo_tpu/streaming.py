@@ -142,7 +142,16 @@ def _accumulate_chunk(ll, c, n_obs, carry, *, method, tail_max):
     chunk = ll.shape[0]
     idx = c * chunk + jnp.arange(chunk, dtype=jnp.int32)
     valid = idx < n_obs
-    elpd_i, diag, lppd_i = _kernel_for(method, tail_max, ll.dtype)(ll)
+    outs = _kernel_for(method, tail_max, ll.dtype)(ll)
+    if len(outs) == 4:  # float32 PSIS fast path: per-row degeneracy flag
+        elpd_i, diag, lppd_i, degen = outs
+        carry = dict(
+            carry,
+            n_degen=carry["n_degen"]
+            + jnp.sum(degen & valid, dtype=jnp.int32),
+        )
+    else:
+        elpd_i, diag, lppd_i = outs
 
     # accumulate in the widest available dtype: float32 running sums lose
     # ~7 digits over 1e7 observations (the per-chunk cast fuses into the sum)
@@ -261,6 +270,8 @@ def loo_streaming(
         init["good_k"] = jnp.asarray(good_k, dtype)
         init["n_bad"] = jnp.zeros((), jnp.int32)
         init["k_max"] = jnp.asarray(-jnp.inf, dtype)
+        if dtype == jnp.float32:
+            init["n_degen"] = jnp.zeros((), jnp.int32)
     else:
         init["diag_min"] = jnp.asarray(jnp.inf, dtype)
 
@@ -298,6 +309,16 @@ def loo_streaming(
     var_e = max(sum_e2 / n_obs - (sum_e / n_obs) ** 2, 0.0)
 
     warn_mg = False
+    n_degenerate = int(out.get("n_degen", 0))
+    if n_degenerate:
+        warnings.warn(
+            f"The float32 fast path left {n_degenerate} observations"
+            " unsmoothed because their generalized Pareto fit was degenerate"
+            " (sigma <= 0). Recompute with dtype=float64 for reference-exact"
+            " handling of these observations.",
+            UserWarning,
+            stacklevel=2,
+        )
     if method == ISMethod.PSIS:
         if int(out["n_bad"]) > 0:
             warnings.warn(
@@ -344,12 +365,14 @@ def loo_streaming(
             name="pareto_k" if method == ISMethod.PSIS else "ess",
         )
 
-    return _assemble(
+    result = _assemble(
         False, loo_lppd, loo_lppd_se, p_loo, p_loo_se, n_draws, n_obs,
         warn_mg, scale, looic, looic_se,
         loo_lppd_i=loo_lppd_i, diagnostic=diagnostic,
         method=method, good_k=good_k if method == ISMethod.PSIS else None,
     )
+    result.fast_path_degenerate = n_degenerate
+    return result
 
 
 @jax.jit

@@ -189,7 +189,7 @@ class TestFastPath:
         ll = rng.normal(-1, 0.8, size=(48, 1200))
         m = tail_length(1200, 1.0)
         e, k, l = loo_scores_psis(jnp.asarray(ll), m)
-        ef, kf, lf = loo_scores_psis_fast(jnp.asarray(ll), m)
+        ef, kf, lf, _dg = loo_scores_psis_fast(jnp.asarray(ll), m)
         assert_allclose(np.asarray(e), np.asarray(ef), rtol=1e-12)
         assert_allclose(np.asarray(k), np.asarray(kf), rtol=1e-12)
         assert_allclose(np.asarray(l), np.asarray(lf), rtol=1e-12)
@@ -245,7 +245,7 @@ class TestFastPathAdversarial:
 
         m = tail_length(ll64.shape[1], 1.0)
         e, k, l = loo_scores_psis(jnp.asarray(ll64, jnp.float64), m)
-        ef, kf, lf = loo_scores_psis_fast(
+        ef, kf, lf, _dg = loo_scores_psis_fast(
             jnp.asarray(ll64, jnp.float32), m
         )
         return (
@@ -269,7 +269,7 @@ class TestFastPathAdversarial:
 
         m = tail_length(ll64.shape[1], 1.0)
         e, k, l = loo_scores_psis(jnp.asarray(ll64, jnp.float64), m)
-        ef, kf, lf = loo_scores_psis_fast(jnp.asarray(ll64, jnp.float64), m)
+        ef, kf, lf, _dg = loo_scores_psis_fast(jnp.asarray(ll64, jnp.float64), m)
         finite = np.isfinite(np.asarray(k))
         assert_allclose(
             np.asarray(ef)[finite],

@@ -232,3 +232,92 @@ class TestEstimatorParity:
         ref = ref_hh.compute_sampling_probabilities(elpd_approx.copy())
         got = compute_sampling_probabilities(elpd_approx)
         np.testing.assert_allclose(got, ref, rtol=RTOL, atol=ATOL)
+
+
+class TestFusedLooScoresParity:
+    """The fused exact LOO kernel (hybrid f32-proxy selection, scatter-free
+    elpd identity) against the reference pipeline: elpd_i derived by driving
+    reference ``_psislw`` per row and summing the smoothed weights exactly as
+    reference ``loo()`` does (``pyloo/loo.py:286-324``)."""
+
+    def _reference_scores(self, ll, reff=1.0):
+        from scipy.special import logsumexp as sp_lse
+
+        ref_lw, ref_k = _reference_psislw(-ll, reff=reff)
+        elpd_i = sp_lse(ref_lw + ll, axis=1)
+        lppd_i = sp_lse(ll, axis=1, b=np.full_like(ll, 1.0 / ll.shape[1]))
+        return elpd_i, ref_k, lppd_i
+
+    @pytest.mark.parametrize(
+        "case,shape",
+        [
+            ("normal", (40, 1000)),
+            ("student_t3", (24, 1500)),
+            ("cauchy_tail", (16, 4000)),
+            ("narrow", (12, 260)),  # below the hybrid width: plain top_k
+        ],
+    )
+    def test_matches_reference(self, rng, case, shape):
+        import jax.numpy as jnp
+
+        from pyloo_tpu.ops import tail_length
+        from pyloo_tpu.ops.loo_kernels import loo_scores_psis
+
+        gens = {
+            "normal": lambda: rng.normal(-1, 0.7, size=shape),
+            "student_t3": lambda: -np.abs(rng.standard_t(3, size=shape)) - 0.5,
+            "cauchy_tail": lambda: -np.abs(rng.standard_cauchy(size=shape)),
+            "narrow": lambda: rng.normal(-2, 1.1, size=shape),
+        }
+        ll = np.asarray(gens[case](), dtype=np.float64)
+        m = tail_length(shape[1], 1.0)
+        e, k, lp = loo_scores_psis(jnp.asarray(ll), m)
+        e_ref, k_ref, lp_ref = self._reference_scores(ll)
+        np.testing.assert_allclose(np.asarray(k), k_ref, rtol=RTOL, atol=ATOL)
+        np.testing.assert_allclose(np.asarray(e), e_ref, rtol=1e-12, atol=1e-12)
+        np.testing.assert_allclose(np.asarray(lp), lp_ref, rtol=1e-12, atol=1e-12)
+
+    def test_ties_and_duplicate_draws(self, rng):
+        """MCMC rejection duplicates: heavy exact ties through the hybrid."""
+        import jax.numpy as jnp
+
+        from pyloo_tpu.ops import tail_length
+        from pyloo_tpu.ops.loo_kernels import loo_scores_psis
+
+        ll = rng.normal(-1, 0.8, size=(12, 1200))
+        keep = rng.integers(0, 1200, size=1200)  # bootstrap-duplicate draws
+        ll = np.asarray(ll[:, keep], dtype=np.float64)
+        m = tail_length(1200, 1.0)
+        e, k, lp = loo_scores_psis(jnp.asarray(ll), m)
+        e_ref, k_ref, lp_ref = self._reference_scores(ll)
+        np.testing.assert_allclose(np.asarray(k), k_ref, rtol=RTOL, atol=ATOL)
+        np.testing.assert_allclose(np.asarray(e), e_ref, rtol=1e-12, atol=1e-12)
+
+    def test_short_tail_and_constant_rows(self, rng):
+        import jax.numpy as jnp
+
+        from pyloo_tpu.ops import tail_length
+        from pyloo_tpu.ops.loo_kernels import loo_scores_psis
+
+        ll = np.asarray(rng.normal(-1, 0.5, size=(4, 1000)))
+        ll[0] = -2.0  # constant row: k = inf, elpd = lpd
+        ll[1, :5] = -40.0  # extreme outliers shrink the exceed tail
+        m = tail_length(1000, 1.0)
+        e, k, lp = loo_scores_psis(jnp.asarray(ll), m)
+        e_ref, k_ref, lp_ref = self._reference_scores(ll)
+        np.testing.assert_allclose(np.asarray(k), k_ref, rtol=RTOL, atol=ATOL)
+        np.testing.assert_allclose(np.asarray(e), e_ref, rtol=1e-12, atol=1e-12)
+
+    @pytest.mark.parametrize("reff", [0.7, 2.0])
+    def test_reff_variants(self, rng, reff):
+        import jax.numpy as jnp
+
+        from pyloo_tpu.ops import tail_length
+        from pyloo_tpu.ops.loo_kernels import loo_scores_psis
+
+        ll = np.asarray(rng.normal(-1, 0.9, size=(16, 2000)))
+        m = tail_length(2000, reff)
+        e, k, lp = loo_scores_psis(jnp.asarray(ll), m)
+        e_ref, k_ref, lp_ref = self._reference_scores(ll, reff=reff)
+        np.testing.assert_allclose(np.asarray(k), k_ref, rtol=RTOL, atol=ATOL)
+        np.testing.assert_allclose(np.asarray(e), e_ref, rtol=1e-12, atol=1e-12)

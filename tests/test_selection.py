@@ -56,7 +56,7 @@ def test_fast_kernel_unchanged_by_cascade(rng):
 
     ll = jnp.asarray(rng.normal(-1, 0.7, size=(64, 4000)), jnp.float32)
     m = tail_length(4000, 1.0)
-    e_fast, k_fast, l_fast = loo_scores_psis_fast(ll, m)
+    e_fast, k_fast, l_fast, _dg = loo_scores_psis_fast(ll, m)
     e_ref, k_ref, l_ref = loo_scores_psis(ll.astype(jnp.float64), m)
     assert_allclose(np.asarray(e_fast), np.asarray(e_ref), rtol=2e-4)
     assert_allclose(np.asarray(k_fast), np.asarray(k_ref), atol=2e-3)
@@ -85,7 +85,7 @@ def test_degenerate_gpd_fit_stays_finite():
         y, jax.nn.log_sigmoid(logits), jax.nn.log_sigmoid(-logits)
     )
     m = tail_length(400, 1.0)
-    e, k, _ = loo_scores_psis_fast(ll, m)
+    e, k, _, _dg = loo_scores_psis_fast(ll, m)
     assert bool(jnp.all(jnp.isfinite(e))), "fast kernel produced non-finite elpd"
 
     # spot-check parity on a subsample against the exact float64 kernel
@@ -149,3 +149,251 @@ class TestPallasKernels:
             rtol=2e-6,
             atol=1e-6,
         )
+
+
+class TestTopkWithIdx:
+    """Index-tracking cascade: values exact, indices point at those values."""
+
+    @pytest.mark.parametrize(
+        "shape,k",
+        [
+            ((7, 4000), 256),
+            ((5, 4001), 191),
+            ((3, 2500), 100),
+            ((2, 300), 40),  # below cascade threshold -> lax.top_k
+        ],
+    )
+    def test_values_and_index_consistency(self, rng, shape, k):
+        from pyloo_tpu.ops.selection import topk_with_idx
+
+        x = jnp.asarray(rng.normal(size=shape), jnp.float32)
+        vals, idx = topk_with_idx(x, k)
+        want, _ = jax.lax.top_k(x, k)
+        assert_allclose(np.asarray(vals), np.asarray(want), rtol=0)
+        gathered = jnp.take_along_axis(x, idx, axis=-1)
+        assert_allclose(np.asarray(gathered), np.asarray(vals), rtol=0)
+        # indices must be distinct per row
+        for row in np.asarray(idx):
+            assert len(set(row.tolist())) == k
+
+
+class TestHybridF64:
+    """Exact f64 top-k via f32-proxy selection + certificate."""
+
+    @pytest.mark.parametrize("s", [1000, 4000, 4001])
+    def test_random_exact_and_certified(self, rng, s):
+        from pyloo_tpu.ops.selection import topk_hybrid_f64
+
+        x = jnp.asarray(rng.normal(size=(16, s)))
+        vals, ok = topk_hybrid_f64(x, 191)
+        want, _ = jax.lax.top_k(x, 191)
+        assert bool(jnp.all(ok))
+        assert_allclose(np.asarray(vals), np.asarray(want), rtol=0)
+
+    def test_sub_f32_resolution_spread_is_exact(self, rng):
+        """f64-distinct values inside one f32 ulp, away from the boundary."""
+        from pyloo_tpu.ops.selection import topk_hybrid_f64
+
+        x = rng.normal(size=(4, 2000))
+        # top block far above everything, mutually within 1e-12
+        x[:, :50] = 10.0 + rng.uniform(0, 1e-12, size=(4, 50))
+        x = jnp.asarray(x)
+        vals, ok = topk_hybrid_f64(x, 100)
+        want, _ = jax.lax.top_k(x, 100)
+        assert bool(jnp.all(ok))
+        assert_allclose(np.asarray(vals), np.asarray(want), rtol=0)
+
+    def test_constant_rows_certified(self):
+        from pyloo_tpu.ops.selection import topk_hybrid_f64
+
+        x = jnp.zeros((3, 2000), jnp.float64)
+        vals, ok = topk_hybrid_f64(x, 100)
+        assert bool(jnp.all(ok))
+        assert_allclose(np.asarray(vals), 0.0, rtol=0)
+
+    def test_adversarial_boundary_tie_flagged(self, rng):
+        """> PAD f64-distinct values in one f32 tie class AT the boundary:
+        the certificate must refuse (ok=False) rather than silently err."""
+        from pyloo_tpu.ops.selection import topk_hybrid_f64
+
+        x = np.asarray(rng.normal(size=(2, 2000)) - 10.0)
+        # 400 values all rounding to f32(1.0), f64-distinct, straddling the
+        # k=100 boundary
+        x[0, :400] = 1.0 + rng.uniform(0, 1e-9, size=400)
+        x = jnp.asarray(x)
+        vals, ok = topk_hybrid_f64(x, 100)
+        ok = np.asarray(ok)
+        assert not ok[0]
+        assert ok[1]
+
+    def test_exact_kernel_falls_back_on_adversarial_rows(self, rng):
+        """End-to-end: loo_scores_psis stays exact when the certificate
+        fails, via the full-width f64 fallback branch."""
+        import warnings as _w
+
+        from pyloo_tpu.ops import tail_length
+        from pyloo_tpu.ops.loo_kernels import loo_scores_psis
+        from pyloo_tpu.ops.psis import psislw_batch
+        from pyloo_tpu.ops.lse import logsumexp
+
+        ll = np.asarray(rng.normal(-1, 0.6, size=(8, 2000)))
+        ll[0, :400] = -1.0 - rng.uniform(0, 1e-9, size=400)
+        m = tail_length(2000, 1.0)
+        llj = jnp.asarray(ll)
+        e, k, l = loo_scores_psis(llj, m)
+        lw, k_ref = psislw_batch(-llj, m)
+        e_ref = logsumexp(lw + llj, axis=1)
+        assert_allclose(np.asarray(e), np.asarray(e_ref), rtol=1e-11, atol=1e-12)
+        assert_allclose(np.asarray(k), np.asarray(k_ref), rtol=1e-11)
+
+    def test_minus_inf_rows(self, rng):
+        from pyloo_tpu.ops.selection import topk_hybrid_f64
+
+        x = np.full((2, 2000), -np.inf)
+        x[0, :30] = rng.normal(size=30)
+        x = jnp.asarray(x)
+        vals, ok = topk_hybrid_f64(x, 100)
+        want, _ = jax.lax.top_k(x, 100)
+        got, expect = np.asarray(vals), np.asarray(want)
+        assert_allclose(got[np.asarray(ok)], expect[np.asarray(ok)], rtol=0)
+
+
+def _topk_want(x, k):
+    """lax.top_k values with -inf/NaN-tolerant comparison helper."""
+    want = jax.lax.top_k(x, k)[0]
+    return np.asarray(want)
+
+
+def _assert_same_vals(got, want):
+    got, want = np.asarray(got), np.asarray(want)
+    both_nan = np.isnan(got) & np.isnan(want)
+    both_ninf = np.isneginf(got) & np.isneginf(want)
+    eq = (got == want) | both_nan | both_ninf
+    assert eq.all(), f"mismatch at {np.argwhere(~eq)[:5]}"
+
+
+class TestPallasEnvelope:
+    """Property battery across the widened kernel envelope (interpret mode).
+
+    Shapes cover every segment count the kernel supports (1..64), both
+    per-lane list heights (256 for k <= 256, 512 above), ragged widths,
+    ragged batch sizes, and k at the boundaries {1, 255, 256, 257, 512}.
+    """
+
+    @pytest.mark.parametrize(
+        "s,k",
+        [
+            (200, 1),       # n_segs=1, trivial k
+            (256, 191),     # n_segs=1 exact fit
+            (300, 255),     # n_segs=2 ragged, k at 255
+            (512, 256),     # n_segs=2, k at the 256 boundary
+            (2000, 191),    # n_segs=8 ragged (bench-adjacent)
+            (4096, 256),    # n_segs=16 exact fit, max k for N=256
+            (4097, 100),    # n_segs=32 just past the old 4096 limit
+            (8000, 270),    # 4 chains x 2000 draws, M+1=270 -> N=512
+            (8192, 512),    # N=512 exact fit, max k
+            (16000, 191),   # n_segs=64 at N=256
+            (16384, 257),   # N=512, n_segs=32
+            (513, 512),     # minimal width above one 512-list
+        ],
+    )
+    def test_random_shapes(self, rng, s, k):
+        from pyloo_tpu.ops.pallas_topk import pallas_topk_desc, supports
+
+        assert supports(s, k)
+        x = jnp.asarray(rng.normal(size=(9, s)), jnp.float32)  # ragged B
+        got = pallas_topk_desc(x, k, interpret=True)
+        _assert_same_vals(got, _topk_want(x, k))
+
+    def test_supports_envelope(self):
+        from pyloo_tpu.ops.pallas_topk import supports
+
+        assert supports(8000, 270)      # the 4x2000-draw posterior
+        assert supports(16384, 256)
+        assert supports(32768, 512)
+        assert not supports(32769, 512)
+        assert not supports(16385, 256) or supports(16385, 257)
+        assert not supports(4000, 513)  # k beyond two lists
+        assert not supports(1, 1)       # degenerate width
+
+    def test_ties_crossing_segment_boundaries(self, rng):
+        from pyloo_tpu.ops.pallas_topk import pallas_topk_desc
+
+        # tie runs deliberately spanning the 256-element segment boundary
+        x = np.full((8, 1000), -1.0, np.float32)
+        x[:, 200:300] = 2.0   # run across the seg-0/seg-1 boundary
+        x[:, 500:520] = 3.0
+        x[:, 760:780] = 2.0   # same value, different segment
+        x += rng.normal(size=x.shape).astype(np.float32) * 1e-3
+        x[2, :] = 5.0         # full-row tie
+        xj = jnp.asarray(x)
+        got = pallas_topk_desc(xj, 256, interpret=True)
+        _assert_same_vals(got, _topk_want(xj, 256))
+
+    def test_inf_and_allequal_rows(self, rng):
+        from pyloo_tpu.ops.pallas_topk import pallas_topk_desc
+
+        x = np.asarray(rng.normal(size=(10, 2000)), np.float32)
+        x[0, :] = -np.inf
+        x[1, :100] = np.inf
+        x[2, :] = 0.0
+        x[3, ::2] = -np.inf            # alternating -inf
+        x[4, :3] = np.float32(3.4e38)  # near f32 max
+        xj = jnp.asarray(x)
+        got = pallas_topk_desc(xj, 191, interpret=True)
+        _assert_same_vals(got, _topk_want(xj, 191))
+
+    @pytest.mark.parametrize("b", [1, 2, 7, 32, 33])
+    def test_ragged_batch(self, rng, b):
+        from pyloo_tpu.ops.pallas_topk import pallas_topk_desc
+
+        x = jnp.asarray(rng.normal(size=(b, 1500)), jnp.float32)
+        got = pallas_topk_desc(x, 200, interpret=True)
+        _assert_same_vals(got, _topk_want(x, 200))
+
+    @pytest.mark.parametrize(
+        "s,k",
+        [
+            (2000, 191),
+            (4097, 100),   # past the old 4096 limit
+            (8000, 270),   # N=512 path
+        ],
+    )
+    def test_prepass_shapes(self, rng, s, k):
+        from pyloo_tpu.ops.lse import logsumexp
+        from pyloo_tpu.ops.pallas_topk import pallas_loo_prepass
+
+        ll = rng.normal(-1, 0.8, size=(9, s))
+        x_raw = jnp.asarray(-ll, jnp.float32)
+        vals, c1, log_ntl, log_sum_ll = pallas_loo_prepass(
+            x_raw, k, interpret=True
+        )
+        C = jnp.max(x_raw, axis=1)
+        x = x_raw - C[:, None]
+        want_vals = jax.lax.top_k(x, k)[0]
+        floor = float(np.log(np.finfo(np.float64).tiny))
+        xc = jnp.maximum(want_vals[:, k - 1], floor)
+        mask = x <= xc[:, None]
+        want_ntl = xc + jnp.log(
+            jnp.sum(jnp.where(mask, jnp.exp(x - xc[:, None]), 0.0), axis=1)
+        )
+        want_lse = logsumexp(jnp.asarray(ll, jnp.float32), axis=1)
+        assert_allclose(np.asarray(c1), np.asarray(C), rtol=0)
+        _assert_same_vals(vals, want_vals)
+        assert_allclose(np.asarray(log_ntl), np.asarray(want_ntl), rtol=2e-6)
+        assert_allclose(np.asarray(log_sum_ll), np.asarray(want_lse), rtol=2e-6)
+
+    def test_prepass_heavy_tail_and_ties(self, rng):
+        from pyloo_tpu.ops.pallas_topk import pallas_loo_prepass
+
+        ll = rng.normal(-1, 0.8, size=(8, 2000))
+        ll[0] = -np.abs(rng.standard_cauchy(size=2000)) * 5  # heavy tail
+        ll[1] = -2.0  # constant row
+        x_raw = jnp.asarray(-ll, jnp.float32)
+        vals, c1, log_ntl, log_sum_ll = pallas_loo_prepass(
+            x_raw, 192, interpret=True
+        )
+        C = jnp.max(x_raw, axis=1)
+        want_vals = jax.lax.top_k(x_raw - C[:, None], 192)[0]
+        _assert_same_vals(vals, want_vals)
+        assert np.isfinite(np.asarray(log_sum_ll)).all()

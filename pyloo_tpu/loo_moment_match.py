@@ -64,6 +64,7 @@ def loo_moment_match(
     cov: bool = True,
     method: Literal["psis", "sis", "tis"] | ISMethod = "psis",
     verbose: bool = False,
+    device_batched: bool | None = None,
     **kwargs,
 ) -> ELPDData:
     """Improve PSIS-LOO for high-k observations by moment matching.
@@ -84,6 +85,13 @@ def loo_moment_match(
         matching, protecting against transform overshoot.
     cov : bool
         Include the full-covariance (Cholesky) transform.
+    device_batched : bool, optional
+        Run the greedy loop for ALL bad observations as one vmapped
+        ``lax.while_loop`` device program (:mod:`pyloo_tpu.ops.moment_match`)
+        instead of a host loop with per-transform device round-trips.
+        Default: automatically enabled on the wrapper + PSIS + non-verbose
+        path; the five-callable interface always uses the host loop (the
+        callbacks are arbitrary Python).
 
     Returns
     -------
@@ -101,6 +109,11 @@ def loo_moment_match(
         )
 
     is_wrapper = isinstance(model, JAXModelWrapper)
+    if device_batched and not is_wrapper:
+        raise ValueError(
+            "device_batched=True requires a JAXModelWrapper model; the"
+            " five-callable interface runs on the host loop."
+        )
     converter = None
     if is_wrapper:
         converter = ParameterConverter(model)
@@ -175,6 +188,25 @@ def loo_moment_match(
     _log.info(f"Found {len(bad_obs)} observations with Pareto k > {k_threshold}")
     kfs = np.zeros_like(ks, dtype=float)
     original_ks = ks.copy()
+
+    try:
+        method_enum = method if isinstance(method, ISMethod) else ISMethod(
+            str(method).lower()
+        )
+    except ValueError:
+        method_enum = None
+    if device_batched is None:
+        device_batched = (
+            is_wrapper and method_enum == ISMethod.PSIS and not verbose
+        )
+    if device_batched and method_enum == ISMethod.PSIS and len(bad_obs) > 0:
+        _moment_match_wrapper_batched(
+            model, loo_data, upars, orig_log_prob, bad_obs, kfs, ks,
+            k_threshold=k_threshold, max_iters=max_iters, split=split,
+            cov=cov, verbose=verbose,
+        )
+        summary(loo_data, original_ks, k_threshold, verbose=verbose)
+        return loo_data
 
     for i in bad_obs:
         uparsi = upars.copy()
@@ -299,6 +331,175 @@ def loo_moment_match(
 
     summary(loo_data, original_ks, k_threshold, verbose=verbose)
     return loo_data
+
+
+# Traceable model closures per wrapper, cached WEAKLY so repeated
+# loo_moment_match calls on the same wrapper reuse one compiled device
+# program (the closures are jit static args: a fresh pair per call would
+# recompile the whole batched while-loop every time).
+_MM_FNS_CACHE: "weakref.WeakKeyDictionary" = None  # created lazily
+
+
+def _wrapper_model_fns(wrapper):
+    global _MM_FNS_CACHE
+    import weakref
+
+    import jax
+
+    if _MM_FNS_CACHE is None:
+        _MM_FNS_CACHE = weakref.WeakKeyDictionary()
+    fns = _MM_FNS_CACHE.get(wrapper)
+    if fns is not None:
+        return fns
+    w_ref = weakref.ref(wrapper)
+
+    def log_prob_fn(u):
+        return jax.vmap(lambda q: w_ref().model.logp_flat(q))(u)
+
+    def log_lik_col_fn(u, i):
+        return jax.vmap(lambda q: w_ref().model.log_lik_flat(q)[i])(u)
+
+    fns = (log_prob_fn, log_lik_col_fn)
+    try:
+        _MM_FNS_CACHE[wrapper] = fns
+    except TypeError:
+        pass
+    return fns
+
+
+def _moment_match_wrapper_batched(
+    model, loo_data, upars, orig_log_prob, bad_obs, kfs, ks, *,
+    k_threshold, max_iters, split, cov, verbose,
+):
+    """Device-resident moment matching for every bad observation at once.
+
+    SURVEY §7 Phase 5 realization: groups the bad-observation set by its
+    integer PSIS tail length (a static shape), then launches ONE jitted
+    program per group — transforms as batched (n_bad, S, P) linear algebra,
+    PSIS re-fits through the batched kernel, greedy control flow as a
+    vmapped ``lax.while_loop`` (:func:`pyloo_tpu.ops.moment_match.batched_moment_match`).
+    The host loop above remains the path for custom callables / SIS / TIS.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from .ops import tail_length
+    from .ops.moment_match import batched_moment_match
+    from .ops.psis import psislw_batch
+
+    upars = np.asarray(upars, dtype=np.float64)
+    S, P = upars.shape
+    log_prob_fn, log_lik_col_fn = _wrapper_model_fns(model)
+
+    # one full pointwise evaluation at the original draws covers every
+    # bad observation's initial log-lik
+    ll_all = np.asarray(
+        jax.jit(jax.vmap(model.model.log_lik_flat))(jnp.asarray(upars))
+    )  # (S, n_obs_flat)
+
+    # r_eff per bad observation, exactly as the host loop computes it
+    posterior = getattr(model.idata, "posterior", None)
+    n_chains = 1
+    if posterior is not None:
+        first = next(iter(posterior.data_vars.values()))
+        n_chains = first.sizes.get("chain", 1)
+    r_effs = {}
+    for i in bad_obs:
+        col = ll_all[:, int(i)]
+        if n_chains == 1:
+            r_effs[int(i)] = 1.0
+        else:
+            r_effs[int(i)] = float(
+                np.asarray(ess_mean(col.reshape(n_chains, -1))) / S
+            )
+
+    # group by the (static) tail length so each group shares one program
+    groups: dict[int, list[int]] = {}
+    for i in bad_obs:
+        m_i = tail_length(S, r_effs[int(i)])
+        groups.setdefault(m_i, []).append(int(i))
+
+    upars_dev = jnp.asarray(upars)
+    orig_lp_dev = jnp.asarray(np.asarray(orig_log_prob, dtype=np.float64))
+
+    for m_tail, idxs in groups.items():
+        log_liki0 = jnp.asarray(ll_all[:, idxs].T)  # (n_bad_g, S)
+        lwi0, _ki_recomputed = psislw_batch(-log_liki0, m_tail)
+        # host-loop parity: the greedy baseline k is the STORED pareto_k
+        # from loo_data (reference loo_moment_match.py:389 ``ki = ks[i]``),
+        # not the value recomputed from the initial weights
+        ki0 = jnp.asarray(np.asarray(ks, dtype=np.float64).flat[idxs])
+        out = batched_moment_match(
+            upars_dev,
+            jnp.asarray(np.asarray(idxs), jnp.int32),
+            orig_lp_dev,
+            log_liki0,
+            lwi0,
+            ki0,
+            jnp.asarray(k_threshold, jnp.float64),
+            log_prob_fn=log_prob_fn,
+            log_lik_col_fn=log_lik_col_fn,
+            tail_max=m_tail,
+            max_iters=max_iters,
+            use_cov=cov,
+        )
+        out = {k: np.asarray(v) for k, v in jax.device_get(out).items()}
+        _log.info(
+            f"Batched moment matching: group tail={m_tail} covered"
+            f" {len(idxs)} observations,"
+            f" {int(np.sum(out['n_accepted'] > 0))} improved"
+        )
+
+        for j, i in enumerate(idxs):
+            ki = float(out["ki"][j])
+            kfi = float(out["kfi"][j])
+            lwi = out["lwi"][j]
+            log_liki = out["log_liki"][j]
+            r_eff_i = r_effs[i]
+            n_accepted = int(out["n_accepted"][j])
+
+            if bool(out["reached_max"][j]):
+                warnings.warn(
+                    "Maximum number of moment matching iterations reached. "
+                    "Increasing max_iters may improve accuracy.",
+                    stacklevel=2,
+                )
+            if max_iters == 1:
+                warnings.warn(
+                    "Maximum number of moment matching iterations reached with"
+                    " max_iters=1. Increasing max_iters may improve accuracy.",
+                    stacklevel=2,
+                )
+
+            if split and n_accepted > 0:
+                try:
+                    split_result = loo_moment_match_split(
+                        model,
+                        upars,
+                        cov,
+                        out["total_shift"][j],
+                        out["total_scaling"][j],
+                        out["total_mapping"][j],
+                        i,
+                        r_eff_i,
+                        method=ISMethod.PSIS,
+                        verbose=verbose,
+                    )
+                    log_liki = np.asarray(split_result["log_liki"])
+                    lwi = np.asarray(split_result["lwi"])
+                    r_eff_i = split_result["r_eff_i"]
+                except Exception as e:
+                    warnings.warn(
+                        f"Split transformation failed for observation {i}: {e}. "
+                        "Using the last successful transformation instead.",
+                        stacklevel=2,
+                    )
+
+            new_elpd_i = float(_logsumexp(np.asarray(log_liki) + lwi))
+            update_loo_data_i(
+                loo_data, int(i), new_elpd_i, ki, kfi, kfs,
+                log_liki=np.asarray(log_liki), verbose=verbose,
+            )
 
 
 def _initial_log_lik(model, i, is_wrapper, upars, log_lik_i, verbose, **kwargs):

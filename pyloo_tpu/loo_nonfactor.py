@@ -224,6 +224,30 @@ def loo_nonfactor(
                 )
 
     ll = ll.T  # (N, S)
+
+    # draws whose factorization failed (singular / non-PD covariance) carry
+    # -inf for EVERY observation; keeping them (the reference's stance,
+    # loo_nonfactor.py:470-481) turns the raw importance weight -ll into
+    # +inf and poisons every observation's PSIS fit — exclude them, exactly
+    # like the non-positive-df deviation above
+    dead_draw = np.all(~np.isfinite(ll), axis=0)
+    if dead_draw.any():
+        warnings.warn(
+            f"Covariance factorization failed for {int(dead_draw.sum())}"
+            " draws (singular or non-positive-definite matrix). Excluding"
+            " those draws from the LOO computation (effective draw count"
+            f" reduced by {int(dead_draw.sum())}).",
+            UserWarning,
+            stacklevel=2,
+        )
+        ll = ll[:, ~dead_draw]
+        S = ll.shape[1]
+        if S < 2:
+            raise ValueError(
+                "All posterior draws have singular covariance matrices;"
+                " cannot compute LOO."
+            )
+
     if np.any(np.isnan(ll)) or np.any(np.isneginf(ll)):
         ll = np.where(np.isnan(ll), -np.inf, ll)
         warnings.warn(

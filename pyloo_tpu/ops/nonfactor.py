@@ -9,6 +9,19 @@ Student-t quadratic form uses the rank-1 identity
 (from expanding Proposition 3 of Bürkner, Gabry, Vehtari 2021), turning the
 reference's O(N * N^2) per-draw per-observation deletion loop into one
 batched einsum.
+
+Covariance inputs go through a batched Cholesky factorization (SURVEY §7
+Phase 7) rather than ``inv``: with ``cov = L L^T`` and ``Linv = L^{-1}``,
+
+    g      = Linv^T (Linv r)          (two triangular applications)
+    P_ii   = sum_k Linv[k, i]^2       (squared column norms of Linv)
+    r^T P r = || Linv r ||^2          (exactly nonnegative, unlike r^T g)
+
+which is cheaper (one factorization + one triangular solve against I versus
+an LU inverse), numerically stabler near singularity, and keeps the
+reference's failure semantics for free — a non-PD draw yields NaN rows from
+``cholesky``, detected and mapped to ``-inf`` exactly like the reference's
+``LinAlgError`` branch (``loo_nonfactor.py:470-481``).
 """
 
 from __future__ import annotations
@@ -22,13 +35,24 @@ __all__ = ["mvn_conditional_loglik", "mvt_conditional_loglik"]
 
 
 def _precision_terms(y, mu, cov=None, prec=None):
-    """g = P (y - mu) and diag(P), per draw; NaN rows mark singular draws."""
-    if prec is None:
-        prec = jnp.linalg.inv(cov)
+    """r, g = P r, diag(P), and r^T P r per draw; NaN marks singular draws."""
     r = y[None, :] - mu  # (S, N)
-    g = jnp.einsum("sij,sj->si", prec, r)
-    cbar = jnp.diagonal(prec, axis1=1, axis2=2)  # (S, N)
-    return r, g, cbar, prec
+    if prec is not None:
+        g = jnp.einsum("sij,sj->si", prec, r)
+        cbar = jnp.diagonal(prec, axis1=1, axis2=2)  # (S, N)
+        quad = jnp.einsum("si,si->s", r, g)
+        return r, g, cbar, quad
+    S, N = r.shape
+    chol = jnp.linalg.cholesky(cov)  # (S, N, N); NaN rows when not PD
+    eye = jnp.broadcast_to(jnp.eye(N, dtype=r.dtype), (S, N, N))
+    linv = jax.lax.linalg.triangular_solve(
+        chol, eye, left_side=True, lower=True
+    )  # L^{-1}
+    lr = jnp.einsum("sij,sj->si", linv, r)  # L^{-1} r
+    g = jnp.einsum("ski,sk->si", linv, lr)  # L^{-T} L^{-1} r = P r
+    cbar = jnp.einsum("ski,ski->si", linv, linv)  # diag(P)
+    quad = jnp.einsum("si,si->s", lr, lr)  # ||L^{-1} r||^2 = r^T P r
+    return r, g, cbar, quad
 
 
 @jax.jit
@@ -41,7 +65,7 @@ def mvn_conditional_loglik(y, mu, cov=None, prec=None):
     """
     r, g, cbar, _ = _precision_terms(y, mu, cov, prec)
     eps = jnp.finfo(g.dtype).eps
-    bad = cbar <= 0
+    bad = ~(cbar > 0)  # catches NaN as well as non-positive diagonals
     cbar_safe = jnp.where(bad, eps, cbar)
     ll = (
         -0.5 * jnp.log(2 * jnp.pi)
@@ -49,7 +73,7 @@ def mvn_conditional_loglik(y, mu, cov=None, prec=None):
         - 0.5 * g**2 / cbar_safe
     )
     ll = jnp.where(bad, -jnp.inf, ll)
-    # singular inverse -> non-finite entries anywhere in the row
+    # singular factorization -> non-finite entries anywhere in the row
     row_ok = jnp.all(jnp.isfinite(g) | bad, axis=1, keepdims=True)
     return jnp.where(row_ok, ll, -jnp.inf)
 
@@ -62,12 +86,11 @@ def mvt_conditional_loglik(y, mu, df, cov=None, prec=None):
     y_i - g_i/Pbar_ii and scale^2 (df + beta_-i)/(df+N-1)/Pbar_ii.
     """
     N = y.shape[0]
-    r, g, cbar, prec_mat = _precision_terms(y, mu, cov, prec)
+    r, g, cbar, quad = _precision_terms(y, mu, cov, prec)
     eps = jnp.finfo(g.dtype).eps
-    bad = cbar <= 0
+    bad = ~(cbar > 0)
     cbar_safe = jnp.where(bad, eps, cbar)
 
-    quad = jnp.einsum("si,si->s", r, g)  # (S,) full quadratic form
     beta = quad[:, None] - g**2 / cbar_safe  # (S, N) rank-1 identity
 
     cond_df = df[:, None] + N - 1  # (S, 1)
@@ -84,7 +107,7 @@ def mvt_conditional_loglik(y, mu, df, cov=None, prec=None):
     invalid = (
         bad
         | ~jnp.isfinite(beta)
-        | (cond_scale <= 0)
+        | ~(cond_scale > 0)
         | (df[:, None] <= 0)
         | ~jnp.isfinite(g)
     )

@@ -327,8 +327,8 @@ def _kernel_fused(
         out_ref[b] = v[:, :rows]
 
 
-@partial(jax.jit, static_argnames=("k", "interpret"))
-def pallas_loo_prepass(x_raw, k: int, *, interpret: bool = False):
+@partial(jax.jit, static_argnames=("k", "interpret", "blk"))
+def pallas_loo_prepass(x_raw, k: int, *, interpret: bool = False, blk: int = 4):
     """Fused selection + row reductions for the float32 PSIS fast path.
 
     (B, S) raw ``x = -log_lik`` -> ``(vals, C, log_ntl, log_sum_ll)`` where
@@ -346,7 +346,6 @@ def pallas_loo_prepass(x_raw, k: int, *, interpret: bool = False):
     rows = _LANES // n_segs
     s_pad = n_segs * n
 
-    blk = 4
     rows_per_step = rows * blk
     b_pad = -(-b_in // rows_per_step) * rows_per_step
     grid = b_pad // rows_per_step
@@ -479,8 +478,10 @@ def _kernel_natural(n_segs: int, in_ref, out_ref):
     out_ref[...] = v[:, :_N]
 
 
-@partial(jax.jit, static_argnames=("k", "interpret", "variant"))
-def pallas_topk_desc(x, k: int, *, interpret: bool = False, variant: str = "roll"):
+@partial(jax.jit, static_argnames=("k", "interpret", "variant", "blk"))
+def pallas_topk_desc(
+    x, k: int, *, interpret: bool = False, variant: str = "roll", blk: int = 4
+):
     """Exact top-k values of each row, descending.  (B, S) -> (B, k).
 
     Requires ``supports(S, k)``; rows are padded with ``-inf`` so any
@@ -532,7 +533,7 @@ def pallas_topk_desc(x, k: int, *, interpret: bool = False, variant: str = "roll
         )(xp)
         return out[:b_in, :k]
 
-    blk = 4  # row-blocks per grid step (DMA amortization)
+    # blk row-blocks per grid step (DMA amortization; default 4)
     rows_per_step = rows * blk
     b_pad = -(-b_in // rows_per_step) * rows_per_step
     grid = b_pad // rows_per_step

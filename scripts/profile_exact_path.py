@@ -48,23 +48,36 @@ def timeit(name, fn, *args):
 def main():
     print(f"device={jax.devices()[0]}  chunk={CHUNK}x{S}  M={M}", flush=True)
     key = jax.random.PRNGKey(0)
-    base = 1.5 * jax.random.normal(key, (CHUNK, S), dtype=jnp.float64)
-    _ = float(base[0, 0])
+    # resident base stays float32 (1 GB); every timed fn casts to f64
+    # inside jit, exactly like bench.py's exact-path methodology.  The axon
+    # server can briefly hold a just-exited client's HBM; retry the first
+    # allocation instead of dying on ResourceExhausted.
+    for attempt in range(6):
+        try:
+            base32 = 1.5 * jax.random.normal(key, (CHUNK, S), dtype=jnp.float32)
+            _ = float(base32[0, 0])
+            break
+        except Exception as e:
+            if "RESOURCE_EXHAUSTED" not in str(e) or attempt == 5:
+                raise
+            print(f"alloc retry {attempt + 1} after: {str(e)[:80]}", flush=True)
+            time.sleep(30)
+    base = base32
 
     @jax.jit
     def full_exact(x, salt):
-        e, k, l = loo_scores_psis(x + salt, M)
+        e, k, l = loo_scores_psis(x.astype(jnp.float64) + salt, M)
         return jnp.sum(e) + jnp.sum(k) + jnp.sum(l)
 
     @jax.jit
     def rowmax_shift(x, salt):
-        xr = -(x + salt)
+        xr = -(x.astype(jnp.float64) + salt)
         C = jnp.max(xr, axis=1)
         return jnp.sum(C)
 
     @jax.jit
     def proxy_cascade(x, salt):
-        xr = -(x + salt)
+        xr = -(x.astype(jnp.float64) + salt)
         C = jnp.max(xr, axis=1)
         xs = xr - C[:, None]
         pv, pidx = topk_with_idx(xs.astype(jnp.float32), M + 1 + 64)
@@ -72,7 +85,7 @@ def main():
 
     @jax.jit
     def hybrid_sel(x, salt):
-        xr = -(x + salt)
+        xr = -(x.astype(jnp.float64) + salt)
         C = jnp.max(xr, axis=1)
         xs = xr - C[:, None]
         vals, ok = topk_hybrid_f64(xs, M + 1)
@@ -80,7 +93,7 @@ def main():
 
     @jax.jit
     def f64_topk(x, salt):
-        xr = -(x + salt)
+        xr = -(x.astype(jnp.float64) + salt)
         C = jnp.max(xr, axis=1)
         xs = xr - C[:, None]
         vals = jax.lax.top_k(xs, M + 1)[0]
@@ -88,14 +101,14 @@ def main():
 
     @jax.jit
     def nontail(x, salt):
-        xr = -(x + salt)
+        xr = -(x.astype(jnp.float64) + salt)
         C = jnp.max(xr, axis=1)
         xs = xr - C[:, None]
         return jnp.sum(_nontail_mass(xs, jnp.full((CHUNK,), -3.0, jnp.float64)))
 
     @jax.jit
     def lppd(x, salt):
-        return jnp.sum(logsumexp(x + salt, axis=1, b_inv=S))
+        return jnp.sum(logsumexp(x.astype(jnp.float64) + salt, axis=1, b_inv=S))
 
     timeit("rowmax only", rowmax_shift, base)
     timeit("proxy cast + f32 cascade(idx)", proxy_cascade, base)

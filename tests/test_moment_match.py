@@ -507,3 +507,100 @@ class TestParameterConverter:
         u = wrapper.model.unravel(q)
         assert_allclose(d["gamma"][0], np.asarray(u["gamma"]), rtol=0)
         assert_allclose(d["beta"][0], np.asarray(u["beta"]), rtol=0)
+
+
+class TestDeviceBatchedPath:
+    """The vmapped lax.while_loop device program vs the host greedy loop."""
+
+    def test_device_equals_host(self, fitted):
+        model, idata, wrapper, orig = fitted
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            mm_host = pl.loo_moment_match(
+                wrapper, orig, split=False, cov=True, device_batched=False
+            )
+            mm_dev = pl.loo_moment_match(
+                wrapper, orig, split=False, cov=True, device_batched=True
+            )
+        assert_allclose(
+            mm_dev.loo_i.values, mm_host.loo_i.values, rtol=1e-10, atol=1e-10
+        )
+        assert_allclose(
+            mm_dev.pareto_k.values, mm_host.pareto_k.values,
+            rtol=1e-10, atol=1e-10,
+        )
+        assert_allclose(mm_dev["elpd_loo"], mm_host["elpd_loo"], rtol=1e-10)
+        assert_allclose(mm_dev["p_loo"], mm_host["p_loo"], rtol=1e-8, atol=1e-10)
+
+    def test_device_equals_host_split(self, fitted):
+        model, idata, wrapper, orig = fitted
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            mm_host = pl.loo_moment_match(
+                wrapper, orig, split=True, cov=True, device_batched=False
+            )
+            mm_dev = pl.loo_moment_match(
+                wrapper, orig, split=True, cov=True, device_batched=True
+            )
+        assert_allclose(
+            mm_dev.loo_i.values, mm_host.loo_i.values, rtol=1e-10, atol=1e-10
+        )
+        assert_allclose(
+            mm_dev.pareto_k.values, mm_host.pareto_k.values,
+            rtol=1e-10, atol=1e-10,
+        )
+
+    def test_rejects_custom_interface(self, fitted):
+        model, idata, wrapper, orig = fitted
+        with pytest.raises(ValueError, match="device_batched"):
+            pl.loo_moment_match(
+                object(), orig, device_batched=True,
+                post_draws=lambda m, **k: None,
+                log_lik_i=lambda m, i, **k: None,
+                unconstrain_pars=lambda m, pars, **k: None,
+                log_prob_upars_fn=lambda m, upars, **k: None,
+                log_lik_i_upars_fn=lambda m, upars, i, **k: None,
+            )
+
+    def test_many_bad_obs_speedup(self):
+        """>= 100 bad observations: one device program vs the host loop.
+
+        k_threshold=0 marks EVERY observation bad — a legitimate setting
+        that scales the bad-obs set without needing a pathological model.
+        """
+        import time
+
+        model = make_outlier_model(seed=3, n=120)
+        idata = fit(model, draws=400, tune=400, chains=2, seed=11)
+        wrapper = pl.JAXModelWrapper(model, idata)
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            orig = pl.loo(idata, pointwise=True, reff=1.0)
+
+            kw = dict(split=False, cov=True, k_threshold=0.0, max_iters=3)
+            # warm both paths (compiles), then time
+            mm_dev = pl.loo_moment_match(
+                wrapper, orig, device_batched=True, **kw
+            )
+            t0 = time.perf_counter()
+            mm_dev = pl.loo_moment_match(
+                wrapper, orig, device_batched=True, **kw
+            )
+            t_dev = time.perf_counter() - t0
+
+            t0 = time.perf_counter()
+            mm_host = pl.loo_moment_match(
+                wrapper, orig, device_batched=False, **kw
+            )
+            t_host = time.perf_counter() - t0
+
+        assert_allclose(
+            mm_dev.loo_i.values, mm_host.loo_i.values, rtol=1e-10, atol=1e-10
+        )
+        assert_allclose(
+            mm_dev.pareto_k.values, mm_host.pareto_k.values,
+            rtol=1e-10, atol=1e-10,
+        )
+        # the host loop pays >= 6 device round-trips per observation; the
+        # batched program pays ~one dispatch total
+        assert t_host / t_dev > 10, (t_host, t_dev)

@@ -350,3 +350,47 @@ class TestNonfactorOptions:
             model_type="student_t",
         )
         assert_allclose(r_prec["elpd_loo"], r_cov["elpd_loo"], rtol=1e-7)
+
+
+class TestDrawSharding:
+    """Draw-axis sharding (SURVEY §5: nonfactor shards draws, not obs)."""
+
+    def test_sharded_equals_single(self, mvn_idata):
+        idata, y, mus, covs = mvn_idata
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            pl.rcParams["device.auto_shard"] = False
+            try:
+                r_single = pl.loo_nonfactor(idata, pointwise=True, reff=1.0)
+            finally:
+                pl.rcParams["device.auto_shard"] = True
+            r_sharded = pl.loo_nonfactor(idata, pointwise=True, reff=1.0)
+        assert_allclose(
+            r_sharded["elpd_loo"], r_single["elpd_loo"], rtol=1e-12
+        )
+        assert_allclose(
+            r_sharded.loo_i.values, r_single.loo_i.values, rtol=1e-12
+        )
+        assert_allclose(
+            r_sharded.pareto_k.values, r_single.pareto_k.values, rtol=1e-10
+        )
+
+    def test_near_singular_draws_sharded(self):
+        """Singular/near-singular covariance draws under the sharded path:
+        the Cholesky failure semantics (-inf rows) must survive sharding."""
+        rng = np.random.default_rng(7)
+        N, C, T = 8, 2, 80
+        A = rng.normal(size=(N, N)) * 0.4
+        base = A @ A.T + np.eye(N)
+        y = rng.multivariate_normal(np.zeros(N), base)
+        mus = rng.normal(0, 0.05, size=(C, T, N))
+        covs = np.broadcast_to(base, (C, T, N, N)).copy()
+        covs[0, 0] = np.outer(np.ones(N), np.ones(N))  # rank-1: singular
+        covs[1, 3] = base * 1e-14  # near-zero scale
+        idata = pl.from_dict(
+            posterior={"mu": mus, "cov": covs}, observed_data={"y": y}
+        )
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            res = pl.loo_nonfactor(idata, pointwise=True, reff=1.0)
+        assert np.isfinite(res["elpd_loo"])

@@ -302,7 +302,7 @@ class TestPallasEnvelope:
 
         assert supports(s, k)
         x = jnp.asarray(rng.normal(size=(9, s)), jnp.float32)  # ragged B
-        got = pallas_topk_desc(x, k, interpret=True)
+        got = pallas_topk_desc(x, k, interpret=True, blk=1)
         _assert_same_vals(got, _topk_want(x, k))
 
     def test_supports_envelope(self):
@@ -327,7 +327,7 @@ class TestPallasEnvelope:
         x += rng.normal(size=x.shape).astype(np.float32) * 1e-3
         x[2, :] = 5.0         # full-row tie
         xj = jnp.asarray(x)
-        got = pallas_topk_desc(xj, 256, interpret=True)
+        got = pallas_topk_desc(xj, 256, interpret=True, blk=1)
         _assert_same_vals(got, _topk_want(xj, 256))
 
     def test_inf_and_allequal_rows(self, rng):
@@ -340,7 +340,7 @@ class TestPallasEnvelope:
         x[3, ::2] = -np.inf            # alternating -inf
         x[4, :3] = np.float32(3.4e38)  # near f32 max
         xj = jnp.asarray(x)
-        got = pallas_topk_desc(xj, 191, interpret=True)
+        got = pallas_topk_desc(xj, 191, interpret=True, blk=1)
         _assert_same_vals(got, _topk_want(xj, 191))
 
     @pytest.mark.parametrize("b", [1, 2, 7, 32, 33])
@@ -348,7 +348,7 @@ class TestPallasEnvelope:
         from pyloo_tpu.ops.pallas_topk import pallas_topk_desc
 
         x = jnp.asarray(rng.normal(size=(b, 1500)), jnp.float32)
-        got = pallas_topk_desc(x, 200, interpret=True)
+        got = pallas_topk_desc(x, 200, interpret=True, blk=1)
         _assert_same_vals(got, _topk_want(x, 200))
 
     @pytest.mark.parametrize(
@@ -366,7 +366,7 @@ class TestPallasEnvelope:
         ll = rng.normal(-1, 0.8, size=(9, s))
         x_raw = jnp.asarray(-ll, jnp.float32)
         vals, c1, log_ntl, log_sum_ll = pallas_loo_prepass(
-            x_raw, k, interpret=True
+            x_raw, k, interpret=True, blk=1
         )
         C = jnp.max(x_raw, axis=1)
         x = x_raw - C[:, None]
@@ -391,7 +391,7 @@ class TestPallasEnvelope:
         ll[1] = -2.0  # constant row
         x_raw = jnp.asarray(-ll, jnp.float32)
         vals, c1, log_ntl, log_sum_ll = pallas_loo_prepass(
-            x_raw, 192, interpret=True
+            x_raw, 192, interpret=True, blk=1
         )
         C = jnp.max(x_raw, axis=1)
         want_vals = jax.lax.top_k(x_raw - C[:, None], 192)[0]

@@ -10,11 +10,13 @@ Two PSIS variants share one scoring core (:func:`_psis_tail_scores`):
 
 * ``loo_scores_psis`` — the REFERENCE-EXACT path (float64 semantics:
   NaN-poisoning ``gpinv`` on sigma <= 0, strict-``>`` tie membership,
-  reference ``pyloo/psis.py:114-231``).  Selection runs at float32 speed via
-  :func:`~pyloo_tpu.ops.selection.topk_hybrid_f64` (f32-proxy candidates,
-  f64 gather + narrow re-select, provable per-row exactness certificate with
-  a full-width f64 fallback), so the exact path no longer pays TPU's
-  emulated-f64 full-row sort.
+  reference ``pyloo/psis.py:114-231``).  Selection uses the exact f64
+  segmented cascade (comparisons don't pay the f64-emulation tax — measured
+  99 ms vs 339 ms for full-width ``lax.top_k`` at 62.5k x 4000 on v5e), and
+  the GPD fit runs the reference-verbatim LINEAR-domain formulas
+  (:func:`~pyloo_tpu.ops.psis._gpdfit_batch_linear` — exceedances of
+  max-shifted weights are <= 1, so linear f64 cannot overflow even under
+  TPU's float32-exponent-range emulation).
 * ``loo_scores_psis_fast`` — the float32 throughput path (Pallas fused
   prepass / segmented cascade); diverges from the reference only on fit
   degeneracies (sigma <= 0 rows keep their unsmoothed tail) and reports
@@ -41,9 +43,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from .lse import logsumexp
-from .selection import topk_hybrid_f64, topk_vals_desc
+from .selection import topk_vals_desc
 from .psis import (
-    _gpdfit_batch,
+    _gpdfit_dispatch,
     _log1mexp,
     sislw_batch,
     tislw_batch,
@@ -114,8 +116,8 @@ def _psis_tail_scores(tail_vals, xcutoff, log_ntl, C, S: int, *, exact: bool):
     log_quart = jnp.take_along_axis(log_exceed, q_desc[:, None], axis=1)[:, 0]
     log_last = log_exceed[:, 0]
 
-    k, sign_sigma, log_sigma = _gpdfit_batch(
-        log_exceed, n_tail, log_quart=log_quart, log_last=log_last
+    k, sign_sigma, log_sigma = _gpdfit_dispatch(
+        log_exceed, n_tail, log_quart, log_last
     )
 
     eps = jnp.finfo(dtype).eps
@@ -184,11 +186,7 @@ def loo_scores_psis(log_lik, tail_max: int):
 
     Semantics match reference ``pyloo/psis.py:114-231`` driven through
     ``pyloo/loo.py:286-337``: strict-``>`` tie membership, float64-tiny
-    cutoff floor, NaN poisoning of sigma <= 0 fits.  In float64 on wide
-    rows, tail selection runs on a float32 proxy with a per-row exactness
-    certificate (``topk_hybrid_f64``); certificate failure (adversarial
-    f32-tie pileups at the boundary) falls back to full-width f64 top_k for
-    the batch, so the result is always exact.
+    cutoff floor, NaN poisoning of sigma <= 0 fits.
     """
     x_raw = -log_lik
     B, S = x_raw.shape
@@ -199,16 +197,13 @@ def loo_scores_psis(log_lik, tail_max: int):
     C1 = jnp.max(x_raw, axis=1)
     x = x_raw - C1[:, None]
 
-    use_hybrid = dtype == jnp.dtype(jnp.float64) and S >= 2 * (M + 1 + 64)
-    if use_hybrid:
-        vals_h, ok = topk_hybrid_f64(x, M + 1)
-        vals = jax.lax.cond(
-            jnp.all(ok),
-            lambda: vals_h,
-            lambda: jax.lax.top_k(x, M + 1)[0],
-        )
-    else:
-        vals = jax.lax.top_k(x, M + 1)[0]
+    # Selection stays in native float64: sorting is COMPARISON-only, and
+    # comparisons cost the same under TPU's emulated f64 as in f32 — only
+    # arithmetic pays the emulation tax.  Measured on v5e at 62.5k x 4000:
+    # f64 segmented cascade 99 ms vs f64 lax.top_k 221-339 ms vs the
+    # f32-proxy hybrid (topk_hybrid_f64) 822 ms — the proxy machinery LOSES
+    # on real hardware, so it is kept only as a library utility.
+    vals = topk_vals_desc(x, M + 1)
 
     xcutoff = jnp.maximum(vals[:, M], cutoff_floor)
     log_ntl = _nontail_mass(x, xcutoff)

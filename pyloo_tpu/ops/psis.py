@@ -248,6 +248,88 @@ def _gpdfit_batch(log_ary, n, log_quart=None, log_last=None):
     return k_post, sign_sigma, log_sigma
 
 
+def _gpdfit_batch_linear(log_ary, n, log_quart=None, log_last=None):
+    """Reference-verbatim Zhang-Stephens fit in LINEAR domain (f64 path).
+
+    Requires ``log_ary <= 0``: exceedances of max-shifted log weights are
+    always <= 1 (reference ``psis.py:125-141`` operates on exactly such
+    values), so ``exp`` cannot overflow even under TPU's
+    float32-exponent-range float64 emulation — the signed-log machinery of
+    :func:`_gpdfit_batch` exists for float32 and for unbounded general
+    inputs, and costs ~3-4 transcendentals per grid element where this
+    costs one ``log1p``.  Formula-for-formula the reference fit
+    (``psis.py:163-208``): same candidate grid, same profile likelihood,
+    same posterior-mean b, same k shrinkage.
+
+    Same signature/returns as :func:`_gpdfit_batch`.
+    """
+    B, M = log_ary.shape
+    dtype = log_ary.dtype
+    eps = jnp.finfo(dtype).eps
+    nf = n.astype(dtype)
+    nf_safe = jnp.where(nf == 0, 1.0, nf)
+
+    y = jnp.exp(log_ary)  # invalid slots: exp(-inf) = 0 -> log1p term 0
+    if log_quart is None:
+        q_idx = jnp.clip((n + 2) // 4 - 1, 0, M - 1)
+        log_quart = jnp.take_along_axis(log_ary, q_idx[:, None], axis=1)[:, 0]
+    if log_last is None:
+        log_last = jnp.take_along_axis(
+            log_ary, jnp.clip(n - 1, 0, M - 1)[:, None], axis=1
+        )[:, 0]
+    y_quart = jnp.exp(log_quart)
+    y_last = jnp.exp(log_last)
+
+    m_max = 30 + int(math.isqrt(M))
+    m_est = (30.0 + jnp.floor(jnp.sqrt(nf))).astype(dtype)
+    grid = jnp.arange(1, m_max + 1, dtype=dtype)
+    grid_valid = grid[None, :] <= m_est[:, None]
+
+    # b_i = 1/y_max + c_i / (prior_bs * y_quart), c_i = 1 - sqrt(m_est/(i-.5))
+    c = 1.0 - jnp.sqrt(m_est[:, None] / (grid[None, :] - 0.5))
+    b = 1.0 / y_last[:, None] + c / (_PRIOR_BS * y_quart[:, None])
+    b = jnp.where(grid_valid, b, 1.0)  # harmless pin beyond the row's grid
+
+    def profile_loglik(_, b_col):
+        terms = jnp.log1p(-b_col[:, None] * y)
+        return None, jnp.sum(terms, axis=1) / nf_safe
+
+    _, k_cols = jax.lax.scan(profile_loglik, None, b.T)
+    k_grid = k_cols.T  # (B, m_max)
+
+    len_scale = nf[:, None] * (jnp.log(-(b / k_grid)) - k_grid - 1.0)
+    len_scale = jnp.where(grid_valid, len_scale, -jnp.inf)
+    ls_max = jnp.max(len_scale, axis=1, keepdims=True)
+    w = jnp.where(grid_valid, jnp.exp(len_scale - ls_max), 0.0)
+    w = w / jnp.sum(w, axis=1, keepdims=True)
+    # prune negligible candidates exactly like the reference (psis.py:194-198)
+    w = jnp.where(w >= 10.0 * eps, w, 0.0)
+    w = w / jnp.sum(w, axis=1, keepdims=True)
+
+    b_post = jnp.sum(w * b, axis=1)
+    k_post = jnp.sum(jnp.log1p(-b_post[:, None] * y), axis=1) / nf_safe
+    sign_sigma = jnp.sign(-k_post / b_post)
+    log_sigma = jnp.log(jnp.abs(k_post)) - jnp.log(jnp.abs(b_post))
+    k_post = (nf * k_post + _PRIOR_K * 0.5) / (nf + _PRIOR_K)
+    return k_post, sign_sigma, log_sigma
+
+
+def _gpdfit_dispatch(log_exceed, n_tail, log_quart, log_last):
+    """Pick the fit for max-shifted PSIS exceedances (log values <= 0).
+
+    float64 -> the reference-verbatim linear fit (cheap even under TPU's
+    emulated f64, where every transcendental costs multiple f32 ops);
+    float32 -> the signed-log fit (robust to exp underflow below ~e^-88).
+    """
+    if log_exceed.dtype == jnp.dtype(jnp.float64):
+        return _gpdfit_batch_linear(
+            log_exceed, n_tail, log_quart=log_quart, log_last=log_last
+        )
+    return _gpdfit_batch(
+        log_exceed, n_tail, log_quart=log_quart, log_last=log_last
+    )
+
+
 def gpdfit(ary):
     """Fit a GPD to a 1-D (or batched, trailing-axis) ascending sample array.
 
@@ -360,8 +442,8 @@ def psislw_batch(log_weights, tail_max: int):
     log_quart = jnp.take_along_axis(log_exceed, q_desc[:, None], axis=1)[:, 0]
     log_last = log_exceed[:, 0]
 
-    k, sign_sigma, log_sigma = _gpdfit_batch(
-        log_exceed, n_tail, log_quart=log_quart, log_last=log_last
+    k, sign_sigma, log_sigma = _gpdfit_dispatch(
+        log_exceed, n_tail, log_quart, log_last
     )
 
     # inverse-CDF smoothing at plotting positions, in log space:

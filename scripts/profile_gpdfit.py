@@ -16,7 +16,7 @@ import jax.numpy as jnp
 
 from pyloo_tpu.ops import tail_length
 from pyloo_tpu.ops.loo_kernels import _psis_tail_scores
-from pyloo_tpu.ops.psis import _gpdfit_batch, _log1mexp
+from pyloo_tpu.ops.psis import _gpdfit_batch, _gpdfit_batch_linear, _log1mexp
 from pyloo_tpu.ops.selection import topk_vals_desc
 
 CHUNK = 62_500
@@ -96,6 +96,11 @@ def main():
         return jnp.sum(k) + jnp.sum(ss) + jnp.sum(ls)
 
     @jax.jit
+    def fit_linear(le, nt, salt):
+        k, ss, ls = _gpdfit_batch_linear(le + salt, nt)
+        return jnp.sum(k) + jnp.sum(ss) + jnp.sum(ls)
+
+    @jax.jit
     def tail_scores(v, xc, ln, c, salt):
         e, k, d = _psis_tail_scores(
             v[:, :M] + salt, xc, ln, c, S, exact=True
@@ -104,7 +109,8 @@ def main():
 
     timeit("selection f64 top_k (+max,shift)", sel_only, base32)
     timeit("selection f64 cascade (+max,shift)", sel_cascade, base32)
-    timeit("gpdfit_batch on (B, M)", fit_only, log_exceed, n_tail)
+    timeit("gpdfit_batch signed-log (B, M)", fit_only, log_exceed, n_tail)
+    timeit("gpdfit_batch LINEAR (B, M)", fit_linear, log_exceed, n_tail)
     log_ntl = jnp.zeros((CHUNK,), jnp.float64)
     timeit("_psis_tail_scores (fit+smooth+red)", tail_scores, vals, xcut,
            log_ntl, C)

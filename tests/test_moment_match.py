@@ -594,12 +594,16 @@ class TestDeviceBatchedPath:
             )
             t_host = time.perf_counter() - t0
 
+        # 1e-8: with 120 observations each accepting up to 3 transforms,
+        # np-vs-jnp reduction order in cov/matmul accumulates ~1e-9 drift;
+        # the strict 1e-10 path equality is asserted in
+        # test_device_equals_host on the standard fixture
         assert_allclose(
-            mm_dev.loo_i.values, mm_host.loo_i.values, rtol=1e-10, atol=1e-10
+            mm_dev.loo_i.values, mm_host.loo_i.values, rtol=1e-8, atol=1e-8
         )
         assert_allclose(
             mm_dev.pareto_k.values, mm_host.pareto_k.values,
-            rtol=1e-10, atol=1e-10,
+            rtol=1e-8, atol=1e-8,
         )
         # the host loop pays >= 6 device round-trips per observation; the
         # batched program pays ~one dispatch total

@@ -81,6 +81,41 @@ def bench_streaming_api(dev):
     return wall, cold_wall, float(r["elpd_loo"])
 
 
+def bench_draw_sweep():
+    """Fast-kernel throughput across draw counts, crossing every selection
+    regime: S=1000/2000/4000 (Pallas N=256), 8000 draws = 4 chains x 2000
+    (M+1=270 -> the N=512 two-tile path), 16000 (N=256, 64 segments).  A
+    cliff at a regime boundary would mean a fallback is being hit."""
+    sweep = {}
+    for s in (1000, 2000, 8000, 16000):
+        rows = max(1024, min(CHUNK, (CHUNK * N_DRAWS) // s))
+        m = tail_length(s, 1.0)
+        x = 1.5 * jax.random.normal(
+            jax.random.PRNGKey(s), (rows, s), dtype=jnp.float32
+        )
+        _ = float(x[0, 0])
+
+        @jax.jit
+        def smooth_s(chunk, salt):
+            e, k, l, _d = loo_scores_psis_fast(-(chunk + salt), m)
+            return jnp.sum(e)
+
+        _ = float(smooth_s(x, jnp.float32(0.0)))
+        t0 = time.perf_counter()
+        acc = jnp.zeros((), jnp.float32)
+        for i in range(4):
+            acc = acc + smooth_s(x, jnp.float32(i) * jnp.float32(1e-6))
+        _ = float(acc)
+        dt = (time.perf_counter() - t0) / 4
+        sweep[f"S={s}"] = {
+            "rows": rows,
+            "tail": m + 1,
+            "obs_per_sec": round(rows / dt, 1),
+        }
+        del x
+    return sweep
+
+
 def bench_exact_f64(base):
     """Exact float64 PSIS path (selection + scatter parity kernel)."""
     from pyloo_tpu.ops.loo_kernels import loo_scores_psis
@@ -146,6 +181,8 @@ def main():
 
     api_wall, api_cold_wall, api_elpd = bench_streaming_api(dev)
     f64_wall = bench_exact_f64(base)
+    del base
+    draw_sweep = bench_draw_sweep()
 
     # Headline = the public API path (loo_streaming): log-likelihood
     # evaluation + fused Pallas PSIS scoring + reductions for 1M x 4000 on
@@ -180,6 +217,7 @@ def main():
             "mean_khat": round(mean_khat, 4),
             "exact_f64_wall_s": round(f64_wall, 3),
             "exact_f64_obs_per_sec": round(TOTAL_OBS / f64_wall, 1),
+            "fast_kernel_draw_sweep": draw_sweep,
         },
     }
     print(json.dumps(result))

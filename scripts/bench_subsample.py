@@ -66,21 +66,51 @@ def build_idata(seed=0):
 
 
 def main():
+    """On-device methodology: the covariates (16 MB) live on device and the
+    (1M, S) log-likelihood is a pure function evaluated chunk by chunk via
+    ``loo_subsample_streaming`` — the recorded wall measures the LIBRARY
+    (LPD sweep over all N + exact PSIS on the m-row subsample + estimator),
+    not the test harness shipping 4 GB through the ~15 MB/s tunnel (the old
+    idata-materializing run recorded 80-369 s of pure transfer; kept below
+    as a footnote)."""
     import warnings
 
     warnings.simplefilter("ignore")
-    # float32 throughput path for the million-observation sweep
-    pl.rcParams["device.precision"] = "float32"
-    t0 = time.perf_counter()
-    idata = build_idata()
-    build_s = time.perf_counter() - t0
+    rng = np.random.default_rng(0)
+    beta_true = np.array([0.34, -0.9, 0.46])
+    betas = beta_true[None, None, :] + rng.normal(0, 0.03, size=(2, 500, 3))
+    X = np.column_stack(
+        [
+            np.ones(N_OBS, dtype=np.float32),
+            rng.exponential(0.5, size=N_OBS).astype(np.float32),
+            rng.gamma(2.0, 1.0, size=N_OBS).astype(np.float32),
+        ]
+    )
+    p = 1 / (1 + np.exp(-(X @ beta_true)))
+    y = (rng.uniform(size=N_OBS) < p).astype(np.float32)
 
-    np.random.seed(0)
+    t0 = time.perf_counter()
+    X_dev = jnp.asarray(X)
+    y_dev = jnp.asarray(y)
+    B_dev = jnp.asarray(betas.reshape(-1, 3), dtype=jnp.float32)
+    jax.block_until_ready((X_dev, y_dev, B_dev))
+    ship_s = time.perf_counter() - t0
+
+    def log_lik_fn(idx):
+        eta = X_dev[idx] @ B_dev.T  # (chunk, S)
+        return y_dev[idx][:, None] * eta - jnp.logaddexp(0.0, eta)
+
     results = {}
     for estimator in ("diff_srs", "hh_pps"):
+        kw = dict(
+            observations=1000, estimator=estimator, reff=1.0,
+            dtype=jnp.float32, seed=0,
+        )
+        # warm (compiles), then timed
+        sub = pl.loo_subsample_streaming(log_lik_fn, N_OBS, S, **kw)
         t0 = time.perf_counter()
-        sub = pl.loo_subsample(
-            idata, observations=1000, estimator=estimator, reff=1.0
+        sub = pl.loo_subsample_streaming(
+            log_lik_fn, N_OBS, S, **dict(kw, seed=1)
         )
         wall = time.perf_counter() - t0
         results[estimator] = {
@@ -98,14 +128,13 @@ def main():
                 "detail": {
                     "n_obs": N_OBS,
                     "n_draws": S,
-                    "build_s": round(build_s, 1),
+                    "covariate_ship_s": round(ship_s, 1),
                     **results,
-                    "note": (
-                        "wall time is dominated by host->device transfer of"
-                        " the 4 GB log-likelihood over the tunneled TPU"
-                        " (~15 MB/s); on a co-located host (PCIe ~10 GB/s)"
-                        " the same workflow is bounded by the <1 s device"
-                        " passes"
+                    "methodology": (
+                        "log-likelihood generated on device"
+                        " (loo_subsample_streaming); round-2 figure of 80 s"
+                        " measured the harness shipping a 4 GB idata through"
+                        " the ~15 MB/s tunnel, not the library"
                     ),
                 },
             }

@@ -25,37 +25,43 @@ import numpy as np
 
 from pyloo_tpu.ops.nonfactor import mvn_conditional_loglik, mvt_conditional_loglik
 
-S_TOTAL = 1000
+S_TOTAL = 120
 
 
-def bench_case(N, chunk, model, seed=0, near_singular=False):
+def bench_case(N, chunk, model, seed=0, near_singular=False, dtype=jnp.float64):
     rng = np.random.default_rng(seed)
     A = rng.normal(size=(N, N)) / np.sqrt(N)
-    base = jnp.asarray(A @ A.T + np.eye(N))
-    y = jnp.asarray(rng.multivariate_normal(np.zeros(N), np.asarray(base)))
-    mu = jnp.asarray(rng.normal(0, 0.05, size=(chunk, N)))
-    jitter = jnp.asarray(rng.normal(0, 0.01, size=(chunk,)))
+    base = jnp.asarray(A @ A.T + np.eye(N), dtype)
+    y = jnp.asarray(
+        rng.multivariate_normal(np.zeros(N), np.asarray(base)), dtype
+    )
+    mu = jnp.asarray(rng.normal(0, 0.05, size=(chunk, N)), dtype)
+    jitter = jnp.asarray(np.abs(rng.normal(0, 0.01, size=(chunk,))), dtype)
 
     if model == "mvn":
         def chunk_fn(salt):
-            covs = base[None] + (jitter + salt)[:, None, None] * jnp.eye(N)
+            covs = base[None] + (jitter + salt)[:, None, None] * jnp.eye(
+                N, dtype=dtype
+            )
             ll = mvn_conditional_loglik(y, mu, cov=covs)
             return jnp.sum(jnp.where(jnp.isfinite(ll), ll, 0.0))
     else:
-        df = jnp.asarray(rng.uniform(3, 10, size=(chunk,)))
+        df = jnp.asarray(rng.uniform(3, 10, size=(chunk,)), dtype)
 
         def chunk_fn(salt):
-            covs = base[None] + (jitter + salt)[:, None, None] * jnp.eye(N)
+            covs = base[None] + (jitter + salt)[:, None, None] * jnp.eye(
+                N, dtype=dtype
+            )
             ll = mvt_conditional_loglik(y, mu, df, cov=covs)
             return jnp.sum(jnp.where(jnp.isfinite(ll), ll, 0.0))
 
     fn = jax.jit(chunk_fn)
-    _ = float(fn(jnp.float64(0.0)))  # compile + warm
+    _ = float(fn(jnp.zeros((), dtype)))  # compile + warm
     n_chunks = S_TOTAL // chunk
     t0 = time.perf_counter()
-    acc = jnp.zeros((), jnp.float64)
+    acc = jnp.zeros((), dtype)
     for i in range(n_chunks):
-        acc = acc + fn(jnp.float64(i) * 1e-9)
+        acc = acc + fn(jnp.asarray(i * 1e-9, dtype))
     _ = float(acc)
     wall = time.perf_counter() - t0
     return {
@@ -63,18 +69,24 @@ def bench_case(N, chunk, model, seed=0, near_singular=False):
         "S": S_TOTAL,
         "chunk": chunk,
         "model": model,
+        "dtype": str(jnp.dtype(dtype)),
         "near_singular": near_singular,
         "wall_s": round(wall, 2),
-        "draw_chol_per_sec": round(S_TOTAL / wall, 1),
+        "draws_per_sec": round(S_TOTAL / wall, 1),
     }
 
 
 def main():
     print(f"device={jax.devices()[0]}", flush=True)
     rows = []
-    for N, chunk in ((2000, 40), (3000, 20), (5000, 8)):
+    for N, chunk, dtype in (
+        (2000, 8, jnp.float64),
+        (2000, 40, jnp.float32),
+        (3000, 8, jnp.float64),
+        (5000, 12, jnp.float32),
+    ):
         for model in ("mvn", "student_t"):
-            r = bench_case(N, chunk, model)
+            r = bench_case(N, chunk, model, dtype=dtype)
             print(json.dumps(r), flush=True)
             rows.append(r)
     print(json.dumps({"metric": "nonfactor_bench", "rows": rows}))

@@ -7,6 +7,7 @@ test here pins one condition AND its complement (clean inputs must stay
 silent).
 """
 
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -99,3 +100,70 @@ class TestSubsampleWarnings:
                 idata, observations=50, reff=1.0, loo_approximation="lpd",
                 seed=1,
             )
+
+
+class TestFastPathDegeneracyDiagnostic:
+    """The float32 fast path reports rows whose GPD fit degenerated
+    (sigma <= 0 -> unsmoothed tail).  Natural triggers are near-impossible
+    since the fit's cancellation fallback, so the plumbing is tested by
+    stubbing the kernel's degeneracy output."""
+
+    @staticmethod
+    def _stub(real_kernel, degen_rows):
+        def kernel(ll, tail_max):
+            e, k, l, d = real_kernel(ll, tail_max)
+            d = jnp.zeros_like(d).at[jnp.asarray(degen_rows)].set(True)
+            return e, k, l, d
+
+        return kernel
+
+    def test_loo_warns_and_reports(self, monkeypatch, rng):
+        import sys
+
+        from pyloo_tpu.ops.loo_kernels import loo_scores_psis_fast
+
+        loo_mod = sys.modules["pyloo_tpu.loo"]
+        monkeypatch.setattr(
+            loo_mod, "loo_scores_psis_fast",
+            self._stub(loo_scores_psis_fast, [1, 3]),
+        )
+        ll = rng.normal(-1, 0.5, size=(2, 100, 7))
+        idata = pl.from_dict(
+            posterior={"mu": rng.normal(size=(2, 100))},
+            log_likelihood={"obs": ll},
+        )
+        pl.rcParams["device.precision"] = "float32"
+        try:
+            with pytest.warns(UserWarning, match="unsmoothed"):
+                res = pl.loo(idata, pointwise=True, reff=1.0)
+        finally:
+            pl.rcParams["device.precision"] = "float64"
+        assert res.fast_path_degenerate == 2
+
+    def test_loo_f64_reports_zero(self, rng):
+        ll = rng.normal(-1, 0.5, size=(2, 100, 7))
+        idata = pl.from_dict(
+            posterior={"mu": rng.normal(size=(2, 100))},
+            log_likelihood={"obs": ll},
+        )
+        res = pl.loo(idata, pointwise=True, reff=1.0)
+        assert res.fast_path_degenerate == 0
+
+    def test_streaming_warns_and_reports(self, monkeypatch, rng):
+        import pyloo_tpu.streaming as s_mod
+        from pyloo_tpu.ops.loo_kernels import loo_scores_psis_fast
+
+        monkeypatch.setattr(
+            s_mod, "loo_scores_psis_fast",
+            self._stub(loo_scores_psis_fast, [0]),
+        )
+        ll_dev = jnp.asarray(
+            rng.normal(-1, 0.5, size=(48, 64)), jnp.float32
+        )
+        with pytest.warns(UserWarning, match="unsmoothed"):
+            res = pl.loo_streaming(
+                lambda i: ll_dev[i], 48, 64,
+                chunk_size=16, dtype=jnp.float32,
+            )
+        # one stubbed degenerate row per chunk
+        assert res.fast_path_degenerate == 3

@@ -16,6 +16,18 @@ import pyloo_tpu  # noqa: F401  (enables x64)
 from pyloo_tpu.models.wrapper import Model, fit
 from pyloo_tpu.ops.ess import ess_mean, rhat
 
+
+@pytest.fixture(scope="module", autouse=True)
+def _fresh_compile_state():
+    """XLA:CPU segfaults compiling the NUTS program (the largest in the
+    suite) when hundreds of earlier executables are live in the process
+    (reproducible at full-suite scale only; any subset passes).  Clearing
+    the compilation caches before this module isolates it."""
+    import jax
+
+    jax.clear_caches()
+    yield
+
 SETTINGS = dict(draws=400, tune=400, chains=4)
 
 

@@ -321,3 +321,30 @@ class TestFusedLooScoresParity:
         e_ref, k_ref, lp_ref = self._reference_scores(ll, reff=reff)
         np.testing.assert_allclose(np.asarray(k), k_ref, rtol=RTOL, atol=ATOL)
         np.testing.assert_allclose(np.asarray(e), e_ref, rtol=1e-12, atol=1e-12)
+
+
+class TestLinearFitExtremes:
+    """The float64 linear-domain fit must track the reference even where
+    exceedances reach the subnormal floor (tail spread ~ 700+ nats)."""
+
+    def test_extreme_tail_spread(self, rng):
+        import jax.numpy as jnp
+
+        from pyloo_tpu.ops import tail_length
+        from pyloo_tpu.ops.loo_kernels import loo_scores_psis
+
+        ll = np.asarray(rng.normal(-1, 0.4, size=(6, 1200)))
+        # rows whose tail spans hundreds of nats: exceedances near the
+        # float64 subnormal floor after the max shift
+        ll[0, :40] = -np.linspace(0, 700, 40) - 1.0
+        ll[1, :200] = -np.linspace(0, 740, 200) - 1.0
+        ll[2, :5] = -800.0  # mass far below the cutoff floor
+        m = tail_length(1200, 1.0)
+        e, k, lp = loo_scores_psis(jnp.asarray(ll), m)
+
+        from scipy.special import logsumexp as sp_lse
+
+        ref_lw, ref_k = _reference_psislw(-ll)
+        e_ref = sp_lse(ref_lw + ll, axis=1)
+        np.testing.assert_allclose(np.asarray(k), ref_k, rtol=1e-11, atol=1e-11)
+        np.testing.assert_allclose(np.asarray(e), e_ref, rtol=1e-11, atol=1e-11)

@@ -422,16 +422,44 @@ def _moment_match_wrapper_batched(
     upars_dev = jnp.asarray(upars)
     orig_lp_dev = jnp.asarray(np.asarray(orig_log_prob, dtype=np.float64))
 
+    # shard the bad-observation axis across the mesh: every lane of the
+    # vmapped while_loop is independent, so the greedy loops for different
+    # observations run on different chips (lanes that finish early coast
+    # until the global condition clears)
+    from .parallel import obs_mesh
+    from .rcparams import rcParams as _rc
+
+    mesh = obs_mesh() if _rc["device.auto_shard"] else None
+    n_dev = 1 if mesh is None else int(np.prod(mesh.devices.shape))
+
     for m_tail, idxs in groups.items():
-        log_liki0 = jnp.asarray(ll_all[:, idxs].T)  # (n_bad_g, S)
+        n_g = len(idxs)
+        pad = (-n_g) % n_dev
+        # padding lanes replay observation idxs[0] but start with ki at
+        # -inf, so their while condition is false from the start
+        idxs_p = idxs + [idxs[0]] * pad
+        log_liki0 = jnp.asarray(ll_all[:, idxs_p].T)  # (n_bad_g+pad, S)
         lwi0, _ki_recomputed = psislw_batch(-log_liki0, m_tail)
         # host-loop parity: the greedy baseline k is the STORED pareto_k
         # from loo_data (reference loo_moment_match.py:389 ``ki = ks[i]``),
         # not the value recomputed from the initial weights
-        ki0 = jnp.asarray(np.asarray(ks, dtype=np.float64).flat[idxs])
+        ki0_np = np.asarray(ks, dtype=np.float64).flat[idxs_p].copy()
+        if pad:
+            ki0_np[n_g:] = -np.inf
+        ki0 = jnp.asarray(ki0_np)
+        obs_idx = jnp.asarray(np.asarray(idxs_p), jnp.int32)
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            lane = NamedSharding(mesh, P("obs"))
+            lane2d = NamedSharding(mesh, P("obs", None))
+            obs_idx = jax.device_put(obs_idx, lane)
+            log_liki0 = jax.device_put(log_liki0, lane2d)
+            lwi0 = jax.device_put(lwi0, lane2d)
+            ki0 = jax.device_put(ki0, lane)
         out = batched_moment_match(
             upars_dev,
-            jnp.asarray(np.asarray(idxs), jnp.int32),
+            obs_idx,
             orig_lp_dev,
             log_liki0,
             lwi0,
@@ -443,7 +471,7 @@ def _moment_match_wrapper_batched(
             max_iters=max_iters,
             use_cov=cov,
         )
-        out = {k: np.asarray(v) for k, v in jax.device_get(out).items()}
+        out = {k: np.asarray(v)[:n_g] for k, v in jax.device_get(out).items()}
         _log.info(
             f"Batched moment matching: group tail={m_tail} covered"
             f" {len(idxs)} observations,"

@@ -608,3 +608,41 @@ class TestDeviceBatchedPath:
         # the host loop pays >= 6 device round-trips per observation; the
         # batched program pays ~one dispatch total
         assert t_host / t_dev > 10, (t_host, t_dev)
+
+
+class TestDeviceBatchedSharded:
+    """The batched MM program with the bad-obs axis sharded across the
+    8-virtual-device mesh (including ragged sizes that need padding lanes):
+    results must match the unsharded run exactly."""
+
+    def test_sharded_matches_unsharded(self, fitted):
+        from pyloo_tpu.parallel import obs_mesh
+
+        model, idata, wrapper, orig = fitted
+        if obs_mesh() is None:
+            pytest.skip("single-device environment")
+        # k_threshold=0.3 marks several observations bad (a count not
+        # divisible by 8, exercising the padding lanes)
+        kw = dict(split=False, cov=True, k_threshold=0.3, max_iters=5)
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            pl.rcParams["device.auto_shard"] = False
+            try:
+                mm_single = pl.loo_moment_match(
+                    wrapper, orig, device_batched=True, **kw
+                )
+            finally:
+                pl.rcParams["device.auto_shard"] = True
+            mm_sharded = pl.loo_moment_match(
+                wrapper, orig, device_batched=True, **kw
+            )
+        n_bad = int(np.sum(orig.pareto_k.values > 0.3))
+        assert n_bad % 8 != 0 or n_bad > 0  # padding path exercised
+        assert_allclose(
+            mm_sharded.loo_i.values, mm_single.loo_i.values,
+            rtol=1e-12, atol=1e-12,
+        )
+        assert_allclose(
+            mm_sharded.pareto_k.values, mm_single.pareto_k.values,
+            rtol=1e-12, atol=1e-12,
+        )

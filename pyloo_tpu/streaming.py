@@ -182,6 +182,57 @@ def _write_chunk(buf, vals, start):
     return jax.lax.dynamic_update_slice(buf, vals, (start,))
 
 
+def _save_checkpoint(path, geometry, chunk, carry, buf_e, buf_d):
+    """Atomically persist the streaming state (SURVEY §5 checkpoint/resume).
+
+    The carry is a handful of scalars; the optional pointwise buffers are
+    ``(n_chunks * chunk_size,)`` arrays.  The device fetch synchronizes the
+    dispatch pipeline — that is the cost of a checkpoint.
+    """
+    import os
+
+    host_carry = jax.device_get(carry)
+    payload = {f"carry_{k}": np.asarray(v) for k, v in host_carry.items()}
+    payload["chunk"] = np.asarray(chunk)
+    for k, v in geometry.items():
+        payload[f"geom_{k}"] = np.asarray(v)
+    if buf_e is not None:
+        payload["buf_e"] = np.asarray(jax.device_get(buf_e))
+        payload["buf_d"] = np.asarray(jax.device_get(buf_d))
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as fh:
+        np.savez(fh, **payload)
+    os.replace(tmp, path)
+
+
+def _load_checkpoint(path, geometry):
+    """Load a streaming checkpoint; None if absent.  Raises on geometry
+    mismatch (resuming a different problem silently would corrupt results)."""
+    import os
+
+    if not os.path.exists(path):
+        return None
+    with np.load(path, allow_pickle=False) as z:
+        for k, v in geometry.items():
+            got = z[f"geom_{k}"]
+            if str(got) != str(np.asarray(v)):
+                raise ValueError(
+                    f"Checkpoint {path!r} was written for {k}={got}, but this"
+                    f" run has {k}={v}. Delete the file or fix the arguments."
+                )
+        out = {
+            "chunk": int(z["chunk"]),
+            "carry": {
+                k[len("carry_"):]: z[k] for k in z.files
+                if k.startswith("carry_")
+            },
+        }
+        if "buf_e" in z.files:
+            out["buf_e"] = z["buf_e"]
+            out["buf_d"] = z["buf_d"]
+    return out
+
+
 def loo_streaming(
     log_lik_fn,
     n_obs: int,
@@ -194,6 +245,9 @@ def loo_streaming(
     scale: str | None = None,
     dtype=None,
     mesh=None,
+    checkpoint_path: str | None = None,
+    checkpoint_every: int = 64,
+    on_chunk=None,
 ):
     """LOO-CV over ``n_obs`` observations whose log-likelihood is computed
     on device by ``log_lik_fn`` — no (n_obs, n_draws) matrix is ever built.
@@ -227,6 +281,19 @@ def loo_streaming(
         float32 uses the compact fast PSIS kernel, float64 the exact one.
     mesh : jax.sharding.Mesh, optional
         Mesh with an ``"obs"`` axis; each chunk's rows are sharded across it.
+    checkpoint_path : str, optional
+        Persist the device-resident carry (and the pointwise buffers, when
+        ``pointwise=True``) to this file every ``checkpoint_every`` chunks,
+        atomically.  If the file already exists and its geometry matches,
+        the run RESUMES from the saved chunk — preemption-safe
+        billion-observation sweeps.  Each save synchronizes the pipeline,
+        so size ``checkpoint_every`` to several seconds of work.  The file
+        is removed on successful completion.
+    checkpoint_every : int
+        Chunks between checkpoint saves (default 64).
+    on_chunk : callable, optional
+        Progress hook ``on_chunk(next_chunk_index, n_chunks)`` invoked
+        after each chunk's dispatch (host side, does not synchronize).
 
     Returns
     -------
@@ -287,7 +354,23 @@ def loo_streaming(
     if pointwise:
         buf_e = jnp.zeros((n_chunks * chunk_size,), dtype)
         buf_d = jnp.zeros((n_chunks * chunk_size,), dtype)
-    for c in range(n_chunks):
+
+    geometry = dict(
+        n_obs=n_obs, n_draws=n_draws, chunk_size=chunk_size,
+        method=method.value, dtype=str(dtype), pointwise=int(pointwise),
+        scale=scale,
+    )
+    start_chunk = 0
+    if checkpoint_path is not None:
+        loaded = _load_checkpoint(checkpoint_path, geometry)
+        if loaded is not None:
+            start_chunk = loaded["chunk"]
+            carry = {k: jnp.asarray(v) for k, v in loaded["carry"].items()}
+            if pointwise:
+                buf_e = jnp.asarray(loaded["buf_e"])
+                buf_d = jnp.asarray(loaded["buf_d"])
+
+    for c in range(start_chunk, n_chunks):
         ci = jnp.asarray(c, jnp.int32)
         ll = gen(ci)
         carry, elpd_i, diag = _accumulate_chunk(
@@ -297,7 +380,21 @@ def loo_streaming(
             start = jnp.asarray(c * chunk_size, jnp.int32)
             buf_e = _write_chunk(buf_e, elpd_i, start)
             buf_d = _write_chunk(buf_d, diag.astype(dtype), start)
+        if checkpoint_path is not None and (c + 1) % checkpoint_every == 0:
+            _save_checkpoint(
+                checkpoint_path, geometry, c + 1, carry,
+                buf_e if pointwise else None,
+                buf_d if pointwise else None,
+            )
+        if on_chunk is not None:
+            on_chunk(c + 1, n_chunks)
     out = jax.device_get(carry)
+    if checkpoint_path is not None:
+        import contextlib
+        import os
+
+        with contextlib.suppress(OSError):
+            os.remove(checkpoint_path)
     elpd_i_host = diag_host = None
     if pointwise:
         elpd_i_host = np.asarray(jax.device_get(buf_e))[:n_obs]

@@ -294,3 +294,76 @@ class TestGeneratorCache:
         from pyloo_tpu.streaming import _GEN_CACHE
 
         assert fn not in _GEN_CACHE
+
+
+class TestCheckpointResume:
+    """Preemption-safe streaming (SURVEY §5 checkpoint/resume)."""
+
+    def _data(self, seed=9, n=96, s=50):
+        ll = jnp.asarray(np.random.default_rng(seed).normal(-1, 0.6, (n, s)))
+        return ll, n, s
+
+    def test_resume_matches_clean_run(self, tmp_path):
+        ll, n, s = self._data()
+        fn = lambda i: ll[i]
+        clean = pl.loo_streaming(fn, n, s, chunk_size=16, pointwise=True)
+
+        ckpt = str(tmp_path / "stream.ckpt.npz")
+
+        class Preempt(Exception):
+            pass
+
+        def die_at_4(c, n_chunks):
+            if c == 4:
+                raise Preempt()
+
+        with pytest.raises(Preempt):
+            pl.loo_streaming(
+                fn, n, s, chunk_size=16, pointwise=True,
+                checkpoint_path=ckpt, checkpoint_every=2, on_chunk=die_at_4,
+            )
+        import os
+
+        assert os.path.exists(ckpt)  # saved at chunk 4 before the "preemption"
+
+        resumed = pl.loo_streaming(
+            fn, n, s, chunk_size=16, pointwise=True,
+            checkpoint_path=ckpt, checkpoint_every=2,
+        )
+        assert_allclose(resumed["elpd_loo"], clean["elpd_loo"], rtol=1e-14)
+        assert_allclose(resumed["se"], clean["se"], rtol=1e-12)
+        assert_allclose(
+            resumed.loo_i.values, clean.loo_i.values, rtol=1e-14
+        )
+        assert_allclose(
+            resumed.pareto_k.values, clean.pareto_k.values, rtol=1e-12
+        )
+        assert not os.path.exists(ckpt)  # removed on completion
+
+    def test_geometry_mismatch_rejected(self, tmp_path):
+        ll, n, s = self._data()
+        fn = lambda i: ll[i]
+        ckpt = str(tmp_path / "stream.ckpt.npz")
+
+        def die_at_2(c, n_chunks):
+            if c == 2:
+                raise RuntimeError("stop")
+
+        with pytest.raises(RuntimeError):
+            pl.loo_streaming(
+                fn, n, s, chunk_size=16,
+                checkpoint_path=ckpt, checkpoint_every=1, on_chunk=die_at_2,
+            )
+        with pytest.raises(ValueError, match="was written for"):
+            pl.loo_streaming(
+                fn, n, s, chunk_size=32, checkpoint_path=ckpt
+            )
+
+    def test_progress_hook(self):
+        ll, n, s = self._data()
+        seen = []
+        pl.loo_streaming(
+            lambda i: ll[i], n, s, chunk_size=16,
+            on_chunk=lambda c, total: seen.append((c, total)),
+        )
+        assert seen == [(i + 1, 6) for i in range(6)]

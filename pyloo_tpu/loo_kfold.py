@@ -106,21 +106,26 @@ def loo_kfold(
     elpds = np.zeros(n_obs)
     fits: list[Any] | None = [] if save_fits else None
 
-    for k in range(1, K + 1):
-        if progressbar:
-            _log.info(f"Fitting model {k} out of {K}")
-        val_idx = np.where(folds == k)[0]
-        if len(val_idx) == 0:
-            _log.warning(f"Fold {k} is empty, skipping")
-            continue
-        train_idx = np.where(folds != k)[0]
+    batched_done = False
+    if not save_fits:
+        batched_done = _try_folds_batched(wrapper, folds, K, elpds, **kwargs)
 
-        fold_fit, fold_elpds = _process_fold(
-            wrapper, train_idx, val_idx, save_fits=save_fits, **kwargs
-        )
-        elpds[val_idx] = fold_elpds
-        if save_fits and fold_fit is not None and fits is not None:
-            fits.append(fold_fit)
+    if not batched_done:
+        for k in range(1, K + 1):
+            if progressbar:
+                _log.info(f"Fitting model {k} out of {K}")
+            val_idx = np.where(folds == k)[0]
+            if len(val_idx) == 0:
+                _log.warning(f"Fold {k} is empty, skipping")
+                continue
+            train_idx = np.where(folds != k)[0]
+
+            fold_fit, fold_elpds = _process_fold(
+                wrapper, train_idx, val_idx, save_fits=save_fits, **kwargs
+            )
+            elpds[val_idx] = fold_elpds
+            if save_fits and fold_fit is not None and fits is not None:
+                fits.append(fold_fit)
 
     p_kfold = lpds_full - elpds
     p_kfold_se = float(np.sqrt(n_obs * np.var(p_kfold)))
@@ -166,6 +171,61 @@ def loo_kfold(
     result.stratified = is_stratified
     result.grouped = is_grouped
     return result
+
+
+# sampler options the batched program understands (a subset of fit()'s)
+_BATCHED_FOLD_OPTS = {
+    "draws", "tune", "chains", "seed", "num_leapfrog", "target_accept",
+}
+
+
+def _try_folds_batched(wrapper, folds, K, elpds, **kwargs) -> bool:
+    """Run ALL fold refits as one vmapped device program when eligible.
+
+    Eligible when the folds are equal-sized (identical training shapes ->
+    one static program), the model has static parameter shapes
+    (``builder is None``), and sampling uses the default HMC path with no
+    custom sampler.  Writes the held-out elpds into ``elpds`` and returns
+    True; returns False (untouched) for the serial loop to handle.
+    SURVEY §7 Phase 6: the refit axis becomes a batch axis.
+    """
+    model = wrapper.model
+    if model.builder is not None:
+        return False
+    opts = dict(wrapper.sample_kwargs)
+    opts.update(kwargs)
+    if opts.pop("algorithm", "hmc") != "hmc":
+        return False
+    if opts.pop("compute_log_likelihood", True) is not True:
+        return False
+    if not set(opts) <= _BATCHED_FOLD_OPTS:
+        return False  # custom sampler / unknown options -> serial path
+
+    val_lists = [np.where(folds == k)[0] for k in range(1, K + 1)]
+    sizes = {len(v) for v in val_lists}
+    if len(sizes) != 1 or 0 in sizes:
+        return False  # ragged folds -> serial path
+    train_lists = [np.where(folds != k)[0] for k in range(1, K + 1)]
+
+    from .models.batched_refit import kfold_refit_batched
+
+    try:
+        fold_elpds, accept = kfold_refit_batched(
+            model,
+            np.stack(train_lists),
+            np.stack(val_lists),
+            **opts,
+        )
+    except Exception as e:  # any failure degrades to the serial loop
+        _log.warning(f"Batched fold refit failed ({e}); using serial folds")
+        return False
+    for v_idx, e_row in zip(val_lists, fold_elpds):
+        elpds[v_idx] = e_row
+    _log.info(
+        f"Batched K-fold: {K} refits in one device program"
+        f" (mean accept {float(np.mean(accept)):.2f})"
+    )
+    return True
 
 
 def _process_fold(wrapper, train_idx, val_idx, save_fits=False, **kwargs):

@@ -407,3 +407,64 @@ class TestRelooBreadth:
                 use_subsample=True, subsample_observations=15,
             )
         assert np.isfinite(res["elpd_loo"])
+
+
+class TestBatchedKfold:
+    """Equal-sized folds run as ONE vmapped device program (all K refits in
+    a single dispatch); must agree with the serial per-fold loop within
+    MC error and engage/disengage on the documented eligibility rules."""
+
+    def test_batched_engages_and_matches_serial(self, wrapper, caplog):
+        import logging
+
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            folds = np.tile(np.arange(1, 6), 6)  # 5 equal folds of 6 (n=30)
+            with caplog.at_level(logging.INFO, logger="pyloo_tpu.loo_kfold"):
+                res_b = pl.loo_kfold(
+                    wrapper, folds=folds, pointwise=True,
+                    draws=400, tune=400, chains=2, seed=3,
+                )
+            assert any("Batched K-fold" in r.message for r in caplog.records)
+            # save_fits forces the serial loop (same folds, same sampler class)
+            res_s = pl.loo_kfold(
+                wrapper, folds=folds, pointwise=True, save_fits=True,
+                draws=400, tune=400, chains=2, seed=3,
+            )
+        assert np.isfinite(res_b["elpd_kfold"])
+        # different RNG streams: agreement within Monte-Carlo error
+        assert abs(res_b["elpd_kfold"] - res_s["elpd_kfold"]) < 2.0
+        assert (
+            np.abs(res_b.kfold_i.values - res_s.kfold_i.values).max() < 1.5
+        )
+
+    def test_ragged_folds_fall_back(self, wrapper, caplog):
+        import logging
+
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            with caplog.at_level(logging.INFO, logger="pyloo_tpu.loo_kfold"):
+                res = pl.loo_kfold(
+                    wrapper, K=4, random_seed=0,
+                    draws=300, tune=300, chains=2,
+                )  # 30 % 4 != 0 -> ragged -> serial
+        assert not any("Batched K-fold" in r.message for r in caplog.records)
+        assert np.isfinite(res["elpd_kfold"])
+
+    def test_custom_sampler_falls_back(self, caplog):
+        import logging
+
+        rng = np.random.default_rng(8)
+        y = rng.normal(0.5, 1.0, size=10)
+        model = _conjugate_normal_model(y)
+        idata = _exact_conjugate_sampler(model, seed=77)
+        cwrap = pl.JAXModelWrapper(
+            model, idata,
+            sample_kwargs=dict(sampler=_exact_conjugate_sampler, seed=78),
+        )
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            with caplog.at_level(logging.INFO, logger="pyloo_tpu.loo_kfold"):
+                res = pl.loo_kfold(cwrap, K=5, random_seed=0)
+        assert not any("Batched K-fold" in r.message for r in caplog.records)
+        assert np.isfinite(res["elpd_kfold"])

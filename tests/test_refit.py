@@ -468,3 +468,43 @@ class TestBatchedKfold:
                 res = pl.loo_kfold(cwrap, K=5, random_seed=0)
         assert not any("Batched K-fold" in r.message for r in caplog.records)
         assert np.isfinite(res["elpd_kfold"])
+
+
+class TestBatchedReloo:
+    """Leave-one-out refits batch exactly like equal-sized folds."""
+
+    def test_batched_engages_and_agrees_with_serial(self, wrapper, caplog):
+        import logging
+
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            orig = pl.loo(wrapper.idata, pointwise=True, reff=1.0)
+            k_thresh = float(np.sort(orig.pareto_k.values)[-3]) - 1e-6
+            with caplog.at_level(logging.INFO, logger="pyloo_tpu.reloo"):
+                res_b = pl.reloo(
+                    wrapper, loo_orig=orig, k_thresh=k_thresh, verbose=True
+                )
+            assert any("Batched reloo" in r.message for r in caplog.records)
+            # a custom sampler (here: plain fit) disables the batched path,
+            # forcing the serial loop on a fresh wrapper
+            w2 = pl.JAXModelWrapper(
+                wrapper.model, wrapper.idata,
+                sample_kwargs=dict(
+                    wrapper.sample_kwargs,
+                    sampler=lambda m, **o: fit(m, **o),
+                ),
+            )
+            res_s = pl.reloo(
+                w2, loo_orig=orig, k_thresh=k_thresh, verbose=False
+            )
+        n_refit = int(np.sum(orig.pareto_k.values > k_thresh))
+        assert n_refit >= 2
+        assert int(np.sum(res_b.pareto_k.values == 0)) >= n_refit
+        # independent MCMC streams: agreement within Monte-Carlo error
+        refit_mask = orig.pareto_k.values > k_thresh
+        assert (
+            np.abs(
+                res_b.loo_i.values[refit_mask] - res_s.loo_i.values[refit_mask]
+            ).max()
+            < 1.5
+        )

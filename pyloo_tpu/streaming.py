@@ -355,6 +355,8 @@ def loo_streaming(
         buf_e = jnp.zeros((n_chunks * chunk_size,), dtype)
         buf_d = jnp.zeros((n_chunks * chunk_size,), dtype)
 
+    if checkpoint_path is not None and checkpoint_every < 1:
+        raise ValueError("checkpoint_every must be a positive chunk count")
     geometry = dict(
         n_obs=n_obs, n_draws=n_draws, chunk_size=chunk_size,
         method=method.value, dtype=str(dtype), pointwise=int(pointwise),

@@ -63,7 +63,9 @@ __all__ = [
 _CUTOFF_FLOOR = float(np.log(np.finfo(np.float64).tiny))
 
 
-def _psis_tail_scores(tail_vals, xcutoff, log_ntl, C, S: int, *, exact: bool):
+def _psis_tail_scores(
+    tail_vals, xcutoff, log_ntl, C, S: int, *, exact: bool, prune_grid: bool = False
+):
     """Fused GPD fit + smoothing + elpd reductions over the compacted tail.
 
     Parameters
@@ -117,7 +119,7 @@ def _psis_tail_scores(tail_vals, xcutoff, log_ntl, C, S: int, *, exact: bool):
     log_last = log_exceed[:, 0]
 
     k, sign_sigma, log_sigma = _gpdfit_dispatch(
-        log_exceed, n_tail, log_quart, log_last
+        log_exceed, n_tail, log_quart, log_last, prune_grid=prune_grid
     )
 
     eps = jnp.finfo(dtype).eps
@@ -170,10 +172,16 @@ def _psis_tail_scores(tail_vals, xcutoff, log_ntl, C, S: int, *, exact: bool):
     return elpd_i, khat, degenerate
 
 
-def _nontail_mass(x, xcutoff):
-    """log sum over {x <= xcutoff} of exp(x), max-shifted (full-row pass)."""
+def _nontail_mass(x, xcutoff, m1=None):
+    """log sum over {x <= xcutoff} of exp(x), max-shifted (full-row pass).
+
+    ``m1``, the largest element of the masked set, can be supplied from the
+    compact selection output (it is the ``(n_tail+1)``-th order statistic) to
+    skip the full-row masked-max pass.
+    """
     nontail_mask = x <= xcutoff[:, None]
-    m1 = jnp.max(jnp.where(nontail_mask, x, -jnp.inf), axis=1)
+    if m1 is None:
+        m1 = jnp.max(jnp.where(nontail_mask, x, -jnp.inf), axis=1)
     m1s = jnp.where(jnp.isfinite(m1), m1, 0.0)
     return m1s + jnp.log(
         jnp.sum(jnp.where(nontail_mask, jnp.exp(x - m1s[:, None]), 0.0), axis=1)
@@ -195,7 +203,6 @@ def loo_scores_psis(log_lik, tail_max: int):
     cutoff_floor = jnp.asarray(_CUTOFF_FLOOR, dtype)
 
     C1 = jnp.max(x_raw, axis=1)
-    x = x_raw - C1[:, None]
 
     # Selection stays in native float64: sorting is COMPARISON-only, and
     # comparisons cost the same under TPU's emulated f64 as in f32 — only
@@ -203,12 +210,22 @@ def loo_scores_psis(log_lik, tail_max: int):
     # f64 segmented cascade 99 ms vs f64 lax.top_k 221-339 ms vs the
     # f32-proxy hybrid (topk_hybrid_f64) 822 ms — the proxy machinery LOSES
     # on real hardware, so it is kept only as a library utility.
-    vals = topk_vals_desc(x, M + 1)
+    #
+    # It runs on the UNSHIFTED rows (comparisons are shift-invariant) so the
+    # (B, S) f64 subtraction never materializes: the max-shift is applied to
+    # the compact (B, M+1) winners — per-element the identical ``x - C1``
+    # operation, hence bit-identical values — and fuses into the single
+    # non-tail logsumexp pass over the full row.
+    vals = topk_vals_desc(x_raw, M + 1) - C1[:, None]
 
     xcutoff = jnp.maximum(vals[:, M], cutoff_floor)
-    log_ntl = _nontail_mass(x, xcutoff)
+    # the largest non-tail element is the (n_tail+1)-th order statistic,
+    # available from the compact winners — no full-row masked-max pass
+    n_tail = jnp.sum((vals[:, :M] > xcutoff[:, None]).astype(jnp.int32), axis=1)
+    m1 = jnp.take_along_axis(vals, n_tail[:, None], axis=1)[:, 0]
+    log_ntl = _nontail_mass(x_raw - C1[:, None], xcutoff, m1)
     elpd_i, khat, _ = _psis_tail_scores(
-        vals[:, :M], xcutoff, log_ntl, C1, S, exact=True
+        vals[:, :M], xcutoff, log_ntl, C1, S, exact=True, prune_grid=True
     )
     lppd_i = logsumexp(log_lik, axis=1, b_inv=S)
     return elpd_i, khat, lppd_i

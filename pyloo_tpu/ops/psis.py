@@ -248,26 +248,16 @@ def _gpdfit_batch(log_ary, n, log_quart=None, log_last=None):
     return k_post, sign_sigma, log_sigma
 
 
-def _gpdfit_batch_linear(log_ary, n, log_quart=None, log_last=None):
-    """Reference-verbatim Zhang-Stephens fit in LINEAR domain (f64 path).
+def _linear_candidate_grid(log_ary, n, log_quart, log_last):
+    """Shared precomputation for the linear-domain fit: exceedances and b grid.
 
-    Requires ``log_ary <= 0``: exceedances of max-shifted log weights are
-    always <= 1 (reference ``psis.py:125-141`` operates on exactly such
-    values), so ``exp`` cannot overflow even under TPU's
-    float32-exponent-range float64 emulation — the signed-log machinery of
-    :func:`_gpdfit_batch` exists for float32 and for unbounded general
-    inputs, and costs ~3-4 transcendentals per grid element where this
-    costs one ``log1p``.  Formula-for-formula the reference fit
-    (``psis.py:163-208``): same candidate grid, same profile likelihood,
-    same posterior-mean b, same k shrinkage.
-
-    Same signature/returns as :func:`_gpdfit_batch`.
+    Returns ``(y, nf, b, grid_valid)`` with ``y`` the (B, M) linear
+    exceedances (invalid slots exactly 0), ``b`` the (B, m_max) candidate
+    grid and ``grid_valid`` its per-row validity mask.
     """
     B, M = log_ary.shape
     dtype = log_ary.dtype
-    eps = jnp.finfo(dtype).eps
     nf = n.astype(dtype)
-    nf_safe = jnp.where(nf == 0, 1.0, nf)
 
     y = jnp.exp(log_ary)  # invalid slots: exp(-inf) = 0 -> log1p term 0
     if log_quart is None:
@@ -289,24 +279,105 @@ def _gpdfit_batch_linear(log_ary, n, log_quart=None, log_last=None):
     c = 1.0 - jnp.sqrt(m_est[:, None] / (grid[None, :] - 0.5))
     b = 1.0 / y_last[:, None] + c / (_PRIOR_BS * y_quart[:, None])
     b = jnp.where(grid_valid, b, 1.0)  # harmless pin beyond the row's grid
+    return y, nf, b, grid_valid
 
-    def profile_loglik(_, b_col):
-        terms = jnp.log1p(-b_col[:, None] * y)
-        return None, jnp.sum(terms, axis=1) / nf_safe
 
-    _, k_cols = jax.lax.scan(profile_loglik, None, b.T)
-    k_grid = k_cols.T  # (B, m_max)
+# Chunk-level bound on the pairing error of one profile-likelihood row sum
+# (absolute, in ksum units) above which the paired scan falls back to the
+# term-by-term scan.  Realistic tails measure orders of magnitude below this
+# (the bound is ~C * 4*eps64 with C the summed pair condition numbers);
+# near-equal exceedance rows (tiny-variance posteriors) blow past it.
+_PAIRED_KSUM_TOL = 1e-12
+
+
+def _linear_b_post(y, nf, b, valid, paired=False):
+    """Posterior-mean b over a candidate set (reference ``psis.py:186-205``).
+
+    ``b`` is (B, C) candidates with validity mask ``valid``; the profile
+    log-likelihood is scanned column-by-column to bound peak memory at
+    O(B*M) per step.  Invalid candidates carry exactly zero weight.
+
+    ``paired=True`` merges exceedance terms two at a time before the log:
+    ``log1p(-p) + log1p(-q) = log1p(p*q - p - q)`` — halving the float64
+    ``log1p`` count, the dominant cost of the exact path on TPU where f64
+    transcendentals are emulated.  The merge loses accuracy only when BOTH
+    members of a pair have ``1 - b*y`` small (the product cancels at
+    magnitude ~1), so the largest exceedances pair with the smallest
+    (head/tail), and a rigorous per-row error bound — evaluated at the most
+    extreme positive candidate, where the pair condition numbers are
+    maximal — falls back to the term-by-term scan for the whole batch via
+    ``lax.cond`` when any row could exceed ``_PAIRED_KSUM_TOL``.
+    """
+    dtype = y.dtype
+    eps = jnp.finfo(dtype).eps
+    nf_safe = jnp.where(nf == 0, 1.0, nf)
+
+    def seq_scan(y_):
+        def profile_loglik(_, b_col):
+            terms = jnp.log1p(-b_col[:, None] * y_)
+            return None, jnp.sum(terms, axis=1) / nf_safe
+
+        _, k_cols = jax.lax.scan(profile_loglik, None, b.T)
+        return k_cols.T
+
+    if paired:
+        B, M = y.shape
+        half = -(-M // 2)
+        pad = 2 * half - M
+        yp = jnp.pad(y, ((0, 0), (0, pad))) if pad else y
+        # head/tail pairing: a zero partner makes the merged term exactly
+        # log1p(-p), so padding and invalid slots stay exact no-ops
+        y1 = yp[:, :half]
+        y2 = yp[:, half:][:, ::-1]
+
+        def paired_scan(y_unused):
+            def profile_loglik(_, b_col):
+                p = b_col[:, None] * y1
+                q = b_col[:, None] * y2
+                # (1-p)(1-q) computed EXPLICITLY: 1-p is exact by Sterbenz
+                # for p in [0.5, 2] — precisely the near-boundary regime
+                # where the naive log1p(pq-p-q) form cancels catastrophically
+                # — and elsewhere carries only ~eps relative error, so the
+                # per-term deviation from the reference's own
+                # log1p(-p)+log1p(-q) rounding stays O(eps*(1+|log term|)).
+                return None, jnp.sum(
+                    jnp.log((1.0 - p) * (1.0 - q)), axis=1
+                ) / nf_safe
+
+            _, k_cols = jax.lax.scan(profile_loglik, None, b.T)
+            return k_cols.T
+
+        # Per-pair relative error of (1-p)(1-q) computed as 1 + (pq-p-q):
+        # <= 4*eps*(1+|p|)(1+|q|)/((1-p)(1-q)), which for a fixed pair is
+        # maximal at the largest positive candidate b and <= 4*eps for any
+        # negative candidate — so the bound at max(b, 0) covers the grid.
+        b_hi = jnp.maximum(jnp.max(jnp.where(valid, b, 0.0), axis=1), 0.0)
+        ph = b_hi[:, None] * y1
+        qh = b_hi[:, None] * y2
+        num = (1.0 + ph) * (1.0 + qh)
+        den = (1.0 - ph) * (1.0 - qh)
+        ratio = jnp.where(den > 0.0, num / jnp.where(den > 0.0, den, 1.0), jnp.inf)
+        err_row = 4.0 * eps * jnp.sum(ratio, axis=1)
+        need_seq = jnp.any(err_row > _PAIRED_KSUM_TOL)
+
+        k_grid = jax.lax.cond(need_seq, seq_scan, paired_scan, y)
+    else:
+        k_grid = seq_scan(y)
 
     len_scale = nf[:, None] * (jnp.log(-(b / k_grid)) - k_grid - 1.0)
-    len_scale = jnp.where(grid_valid, len_scale, -jnp.inf)
+    len_scale = jnp.where(valid, len_scale, -jnp.inf)
     ls_max = jnp.max(len_scale, axis=1, keepdims=True)
-    w = jnp.where(grid_valid, jnp.exp(len_scale - ls_max), 0.0)
+    w = jnp.where(valid, jnp.exp(len_scale - ls_max), 0.0)
     w = w / jnp.sum(w, axis=1, keepdims=True)
     # prune negligible candidates exactly like the reference (psis.py:194-198)
     w = jnp.where(w >= 10.0 * eps, w, 0.0)
     w = w / jnp.sum(w, axis=1, keepdims=True)
+    return jnp.sum(w * b, axis=1)
 
-    b_post = jnp.sum(w * b, axis=1)
+
+def _linear_fit_close(y, nf, b_post):
+    """Final k/sigma from the posterior-mean b (reference ``psis.py:200-207``)."""
+    nf_safe = jnp.where(nf == 0, 1.0, nf)
     k_post = jnp.sum(jnp.log1p(-b_post[:, None] * y), axis=1) / nf_safe
     sign_sigma = jnp.sign(-k_post / b_post)
     log_sigma = jnp.log(jnp.abs(k_post)) - jnp.log(jnp.abs(b_post))
@@ -314,16 +385,60 @@ def _gpdfit_batch_linear(log_ary, n, log_quart=None, log_last=None):
     return k_post, sign_sigma, log_sigma
 
 
-def _gpdfit_dispatch(log_exceed, n_tail, log_quart, log_last):
+def _gpdfit_batch_linear(log_ary, n, log_quart=None, log_last=None, paired=False):
+    """Reference-verbatim Zhang-Stephens fit in LINEAR domain (f64 path).
+
+    Requires ``log_ary <= 0``: exceedances of max-shifted log weights are
+    always <= 1 (reference ``psis.py:125-141`` operates on exactly such
+    values), so ``exp`` cannot overflow even under TPU's
+    float32-exponent-range float64 emulation — the signed-log machinery of
+    :func:`_gpdfit_batch` exists for float32 and for unbounded general
+    inputs, and costs ~3-4 transcendentals per grid element where this
+    costs one ``log1p``.  Formula-for-formula the reference fit
+    (``psis.py:163-208``): same candidate grid, same profile likelihood,
+    same posterior-mean b, same k shrinkage.
+
+    Same signature/returns as :func:`_gpdfit_batch`; ``paired=True`` opts
+    into the guarded pair-merged profile scan (see :func:`_linear_b_post` —
+    do not enable under ``vmap``).  The closing ``k_post`` pass over the
+    posterior-mean b stays term-by-term in every mode.
+    """
+    y, nf, b, grid_valid = _linear_candidate_grid(log_ary, n, log_quart, log_last)
+    b_post = _linear_b_post(y, nf, b, grid_valid, paired=paired)
+    return _linear_fit_close(y, nf, b_post)
+
+
+# NOTE — a certificate-pruned candidate scan (float32 prescan bounding which
+# candidates can survive the reference's ``w >= 10*eps`` threshold, float64
+# scan over the top-T survivors only) was built and then REMOVED here: on
+# light-tailed data ~40 of the 43 candidates genuinely survive the 34-nat
+# threshold (measured over normal/t3/ties/tiny-variance batteries), so the
+# exact fallback fired on essentially every realistic batch.  The speed
+# lever for the float64 scan is pairwise term grouping instead (see
+# :func:`_linear_b_post`).
+
+
+def _gpdfit_dispatch(log_exceed, n_tail, log_quart, log_last, prune_grid=False):
     """Pick the fit for max-shifted PSIS exceedances (log values <= 0).
 
     float64 -> the reference-verbatim linear fit (cheap even under TPU's
     emulated f64, where every transcendental costs multiple f32 ops);
     float32 -> the signed-log fit (robust to exp underflow below ~e^-88).
+
+    ``prune_grid=True`` enables the paired profile-likelihood scan in the
+    float64 fit (:func:`_linear_b_post` with ``paired=True``), which halves
+    the dominant f64 ``log1p`` count; a chunk-level accuracy guard falls
+    back to the term-by-term scan via ``lax.cond``.  Only enable on
+    un-vmapped batch entry points: under vmap the cond lowers to a
+    both-branches ``select``.
     """
     if log_exceed.dtype == jnp.dtype(jnp.float64):
         return _gpdfit_batch_linear(
-            log_exceed, n_tail, log_quart=log_quart, log_last=log_last
+            log_exceed,
+            n_tail,
+            log_quart=log_quart,
+            log_last=log_last,
+            paired=prune_grid,
         )
     return _gpdfit_batch(
         log_exceed, n_tail, log_quart=log_quart, log_last=log_last

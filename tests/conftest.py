@@ -27,3 +27,20 @@ import pytest  # noqa: E402
 @pytest.fixture
 def rng():
     return np.random.default_rng(42)
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _bounded_live_executables():
+    """Clear XLA compilation caches at every test-module boundary.
+
+    XLA:CPU segfaults compiling large programs once hundreds of executables
+    from earlier modules are live in the process (deterministic at
+    full-suite scale only; any subset passes).  A single hand-placed clear
+    before the biggest program (test_samplers) stopped being enough as the
+    suite grew — the round-3 batched-refit programs pushed the trip point
+    back into test_refit — so the bound is now enforced at every module
+    boundary.  Cost: shared substrate kernels recompile per module
+    (seconds), against a ~25-minute suite.
+    """
+    jax.clear_caches()
+    yield

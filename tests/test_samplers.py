@@ -17,16 +17,9 @@ from pyloo_tpu.models.wrapper import Model, fit
 from pyloo_tpu.ops.ess import ess_mean, rhat
 
 
-@pytest.fixture(scope="module", autouse=True)
-def _fresh_compile_state():
-    """XLA:CPU segfaults compiling the NUTS program (the largest in the
-    suite) when hundreds of earlier executables are live in the process
-    (reproducible at full-suite scale only; any subset passes).  Clearing
-    the compilation caches before this module isolates it."""
-    import jax
-
-    jax.clear_caches()
-    yield
+# NOTE: the XLA:CPU full-suite-scale compile segfault first isolated here
+# (NUTS is the largest program in the suite) is now mitigated globally by
+# conftest's per-module ``_bounded_live_executables`` cache clear.
 
 SETTINGS = dict(draws=400, tune=400, chains=4)
 

@@ -46,6 +46,7 @@ from .lse import logsumexp
 from .selection import topk_vals_desc
 from .psis import (
     _gpdfit_dispatch,
+    _gpdfit_from_y,
     _log1mexp,
     sislw_batch,
     tislw_batch,
@@ -64,7 +65,7 @@ _CUTOFF_FLOOR = float(np.log(np.finfo(np.float64).tiny))
 
 
 def _psis_tail_scores(
-    tail_vals, xcutoff, log_ntl, C, S: int, *, exact: bool, prune_grid: bool = False
+    tail_vals, xcutoff, log_ntl, C, S: int, *, exact: bool, product: bool = False
 ):
     """Fused GPD fit + smoothing + elpd reductions over the compacted tail.
 
@@ -109,45 +110,82 @@ def _psis_tail_scores(
     # element-level weights, which this scatter-free kernel never emits.
     slot = jnp.arange(M, dtype=jnp.int32)
     slot_valid = slot[None, :] < n_tail[:, None]
-    gap = jnp.minimum(xcutoff[:, None] - tail_vals, 0.0)
-    log_exceed = jnp.where(slot_valid, tail_vals + _log1mexp(gap), -jnp.inf)
 
     # ascending index q_idx maps to descending index n - 1 - q_idx
     q_idx = jnp.clip((n_tail + 2) // 4 - 1, 0, M - 1)
     q_desc = jnp.clip(n_tail - 1 - q_idx, 0, M - 1)
-    log_quart = jnp.take_along_axis(log_exceed, q_desc[:, None], axis=1)[:, 0]
-    log_last = log_exceed[:, 0]
-
-    k, sign_sigma, log_sigma = _gpdfit_dispatch(
-        log_exceed, n_tail, log_quart, log_last, prune_grid=prune_grid
-    )
-
     eps = jnp.finfo(dtype).eps
-    probs = (nf[:, None] - slot.astype(dtype)[None, :] - 0.5) / jnp.where(
-        nf == 0, 1.0, nf
-    )[:, None]
-    log1m_p = jnp.log1p(-jnp.where(slot_valid, probs, 0.5))
-    u = -k[:, None] * log1m_p
-    abs_u = jnp.abs(u)
-    log_abs_expm1 = jnp.where(u >= 0, u, 0.0) + _log1mexp(-abs_u)
-    log_q = jnp.where(
-        jnp.abs(k)[:, None] < eps,
-        jnp.log(-log1m_p),
-        log_abs_expm1 - jnp.log(jnp.abs(k))[:, None],
+    nf_safe = jnp.where(nf == 0, 1.0, nf)
+    # plotting positions: 1 - p_d == (slot + 0.5)/n exactly, so log1p(-p)
+    # decomposes into log(slot + 0.5) - log(n) — M shared constants plus ONE
+    # f64 log per row instead of M log1p per row (the reference's
+    # term-by-term form, psis.py:216-218, deviates only at eps per element).
+    # Invalid slots keep a probs->0.5 pin.
+    log_slot = jnp.log(slot.astype(dtype) + 0.5)
+    log1m_p = jnp.where(
+        slot_valid,
+        log_slot[None, :] - jnp.log(nf_safe)[:, None],
+        jnp.asarray(np.log(0.5), dtype),
     )
-    smoothed = jnp.logaddexp(log_sigma[:, None] + log_q, xcutoff[:, None])
-    smoothed = jnp.minimum(smoothed, 0.0)  # truncate weights at exp(0)
+
+    if dtype == jnp.dtype(jnp.float64):
+        # Reference-verbatim LINEAR pipeline (psis.py:138-157): exceedances
+        # ``exp(x_tail) - exp(cutoff)``, linear Zhang-Stephens fit, linear
+        # gpinv, one closing log per element.  Max-shifted tails are <= 1 so
+        # nothing overflows, and intermediate expm1 overflow (heavy k) only
+        # produces values the final 0-truncation clamps exactly like the
+        # reference's own ``x[x > 0] = 0``.  Beyond the parity argument this
+        # is the cheap form: 2 transcendentals per element against ~5 for
+        # the log-domain branch below.
+        expxcutoff = jnp.exp(xcutoff)
+        y = jnp.where(
+            slot_valid, jnp.exp(tail_vals) - expxcutoff[:, None], 0.0
+        )
+        y_quart = jnp.take_along_axis(y, q_desc[:, None], axis=1)[:, 0]
+        k, sigma = _gpdfit_from_y(y, nf, y_quart, y[:, 0], product=product)
+        # reference _gpinv (psis.py:211-231): probs strictly inside (0,1)
+        q_lin = sigma[:, None] * jnp.where(
+            jnp.abs(k)[:, None] < eps,
+            -log1m_p,
+            jnp.expm1(-k[:, None] * log1m_p)
+            / jnp.where(k == 0, 1.0, k)[:, None],
+        )
+        smoothed = jnp.minimum(jnp.log(q_lin + expxcutoff[:, None]), 0.0)
+        sigma_pos = sigma > 0
+    else:
+        # float32: stay in the LOG domain end to end — linear weights
+        # underflow below e^-88 in f32, which would zero out exactly the
+        # heavy tails PSIS exists to smooth.
+        gap = jnp.minimum(xcutoff[:, None] - tail_vals, 0.0)
+        log_exceed = jnp.where(slot_valid, tail_vals + _log1mexp(gap), -jnp.inf)
+        log_quart = jnp.take_along_axis(log_exceed, q_desc[:, None], axis=1)[
+            :, 0
+        ]
+        k, sign_sigma, log_sigma = _gpdfit_dispatch(
+            log_exceed, n_tail, log_quart, log_exceed[:, 0], product=product
+        )
+        u = -k[:, None] * log1m_p
+        abs_u = jnp.abs(u)
+        log_abs_expm1 = jnp.where(u >= 0, u, 0.0) + _log1mexp(-abs_u)
+        log_q = jnp.where(
+            jnp.abs(k)[:, None] < eps,
+            jnp.log(-log1m_p),
+            log_abs_expm1 - jnp.log(jnp.abs(k))[:, None],
+        )
+        smoothed = jnp.logaddexp(log_sigma[:, None] + log_q, xcutoff[:, None])
+        smoothed = jnp.minimum(smoothed, 0.0)  # truncate weights at exp(0)
+        sigma_pos = sign_sigma > 0
 
     would_smooth = (n_tail > 4) & jnp.isfinite(k)
-    degenerate = would_smooth & (sign_sigma <= 0)
+    degenerate = would_smooth & ~sigma_pos
     if exact:
         # reference gpinv semantics: sigma <= 0 poisons the row with NaN
-        smoothed = jnp.where(sign_sigma[:, None] > 0, smoothed, jnp.nan)
+        smoothed = jnp.where(sigma_pos[:, None], smoothed, jnp.nan)
         smooth_ok = would_smooth
     else:
         # throughput-path divergence: degenerate fits (a float32 artifact;
         # the same rows are clean in float64) keep the unsmoothed tail
-        smooth_ok = would_smooth & (sign_sigma > 0)
+        smooth_ok = would_smooth & sigma_pos
     s_vals = jnp.where(smooth_ok[:, None], smoothed, tail_vals)
 
     # Row reductions, all in log domain.  Two pitfalls make the "obvious"
@@ -225,7 +263,7 @@ def loo_scores_psis(log_lik, tail_max: int):
     m1 = jnp.take_along_axis(vals, n_tail[:, None], axis=1)[:, 0]
     log_ntl = _nontail_mass(x_raw - C1[:, None], xcutoff, m1)
     elpd_i, khat, _ = _psis_tail_scores(
-        vals[:, :M], xcutoff, log_ntl, C1, S, exact=True, prune_grid=True
+        vals[:, :M], xcutoff, log_ntl, C1, S, exact=True, product=True
     )
     lppd_i = logsumexp(log_lik, axis=1, b_inv=S)
     return elpd_i, khat, lppd_i

@@ -248,6 +248,26 @@ def _gpdfit_batch(log_ary, n, log_quart=None, log_last=None):
     return k_post, sign_sigma, log_sigma
 
 
+def _candidate_grid_y(y, nf, y_quart, y_last):
+    """Zhang-Stephens candidate grid from LINEAR exceedances.
+
+    Returns ``(b, grid_valid)``: the (B, m_max) candidate grid and its
+    per-row validity mask (reference ``psis.py:184-188``).
+    """
+    dtype = y.dtype
+    M = y.shape[1]
+    m_max = 30 + int(math.isqrt(M))
+    m_est = (30.0 + jnp.floor(jnp.sqrt(nf))).astype(dtype)
+    grid = jnp.arange(1, m_max + 1, dtype=dtype)
+    grid_valid = grid[None, :] <= m_est[:, None]
+
+    # b_i = 1/y_max + c_i / (prior_bs * y_quart), c_i = 1 - sqrt(m_est/(i-.5))
+    c = 1.0 - jnp.sqrt(m_est[:, None] / (grid[None, :] - 0.5))
+    b = 1.0 / y_last[:, None] + c / (_PRIOR_BS * y_quart[:, None])
+    b = jnp.where(grid_valid, b, 1.0)  # harmless pin beyond the row's grid
+    return b, grid_valid
+
+
 def _linear_candidate_grid(log_ary, n, log_quart, log_last):
     """Shared precomputation for the linear-domain fit: exceedances and b grid.
 
@@ -269,100 +289,141 @@ def _linear_candidate_grid(log_ary, n, log_quart, log_last):
         )[:, 0]
     y_quart = jnp.exp(log_quart)
     y_last = jnp.exp(log_last)
-
-    m_max = 30 + int(math.isqrt(M))
-    m_est = (30.0 + jnp.floor(jnp.sqrt(nf))).astype(dtype)
-    grid = jnp.arange(1, m_max + 1, dtype=dtype)
-    grid_valid = grid[None, :] <= m_est[:, None]
-
-    # b_i = 1/y_max + c_i / (prior_bs * y_quart), c_i = 1 - sqrt(m_est/(i-.5))
-    c = 1.0 - jnp.sqrt(m_est[:, None] / (grid[None, :] - 0.5))
-    b = 1.0 / y_last[:, None] + c / (_PRIOR_BS * y_quart[:, None])
-    b = jnp.where(grid_valid, b, 1.0)  # harmless pin beyond the row's grid
+    b, grid_valid = _candidate_grid_y(y, nf, y_quart, y_last)
     return y, nf, b, grid_valid
 
 
-# Chunk-level bound on the pairing error of one profile-likelihood row sum
-# (absolute, in ksum units) above which the paired scan falls back to the
-# term-by-term scan.  Realistic tails measure orders of magnitude below this
-# (the bound is ~C * 4*eps64 with C the summed pair condition numbers);
-# near-equal exceedance rows (tiny-variance posteriors) blow past it.
-_PAIRED_KSUM_TOL = 1e-12
+# Renormalized-product profile scan.  On TPU float64 is emulated: a
+# transcendental costs tens of f32 ops, a multiply ~8, a compare/select ~1.
+# The profile log-likelihood sum_j log1p(-b*y_j) therefore collapses to ONE
+# float64 ``log`` per row per candidate by taking the log of the PRODUCT of
+# the (strictly positive) factors 1 - b*y_j, accumulated as a pairwise tree
+# whose partials are kept inside [2^-30, 2^30] by exact power-of-two
+# rescaling with an integer shift count — safe even under the emulation's
+# float32 exponent range.
+_RENORM_HI = 2.0**30
+_RENORM_LO = 2.0**-30
+# exact powers of two: rescaling multiplies are exact.  Both directions are
+# MULTIPLIES — emulated f64 division is a multi-op Newton sequence, and the
+# ``where`` evaluates both branches for every element.
+_RENORM_SCALE = 2.0**60
+_RENORM_INV = 2.0**-60
+_LOG_RENORM_SCALE = 60.0 * math.log(2.0)
+# Wide-ladder constants for LEAF factors only, which under full-range IEEE
+# float64 (CPU) can reach ~2^1024 on extreme-spread tails (the Zhang-
+# Stephens grid scales like 1/y_quartile).  One wide shift counts as 6
+# regular ones (360 == 6*60) so a single shift accumulator serves both.
+# On emulated-f64 TPUs 2^360 is inf and 2^-360 is 0 — harmless, because
+# values there never leave (2^-180, 2^180), so the wide branches are never
+# SELECTED; the explicit v > 0 guard keeps exact zeros from selecting the
+# inf constant (0 * inf = NaN).
+_RENORM_HI_BIG = 2.0**180
+_RENORM_LO_BIG = 2.0**-180
+_RENORM_SCALE_BIG = 2.0**360
+_RENORM_INV_BIG = 2.0**-360
+_BIG_PER_SMALL = 6
 
 
-def _linear_b_post(y, nf, b, valid, paired=False):
+def _renorm(v, sh, steps=1):
+    """Rescale positive ``v`` toward [2^-30, 2^30] by exact powers of two.
+
+    ``sh`` counts applied rescales (``v_true = v * _RENORM_SCALE**-sh``).
+    The rescale is ONE f64 multiply by a constant selected among
+    {2^-60, 1, 2^60} — exact in every case, and half the cost of computing
+    both branch products.  Zeros and NaNs pass through: a true zero keeps
+    collecting shift decrements, but its final ``log`` is -inf regardless.
+    """
+    one = jnp.ones((), v.dtype)
+    for _ in range(steps):
+        hi = v > _RENORM_HI
+        lo = v < _RENORM_LO
+        v = v * jnp.where(hi, _RENORM_INV, jnp.where(lo, _RENORM_SCALE, one))
+        sh = sh + lo.astype(jnp.int32) - hi.astype(jnp.int32)
+    return v, sh
+
+
+def _renorm_wide(v, sh, steps=3):
+    """Wide-ladder rescale toward (2^-180, 2^180) for unbounded leaf factors.
+
+    Three steps of the 2^360 ladder cover the full IEEE float64 exponent
+    range (|v| in [2^-1074, 2^1024]); the ``v > 0`` guard keeps exact zeros
+    away from the wide constants, which are inf/0 under the TPU's
+    float32-exponent-range f64 emulation (where these branches can never be
+    selected anyway).
+    """
+    one = jnp.ones((), v.dtype)
+    for _ in range(steps):
+        hi = v > _RENORM_HI_BIG
+        lo = (v < _RENORM_LO_BIG) & (v > 0)
+        v = v * jnp.where(hi, _RENORM_INV_BIG, jnp.where(lo, _RENORM_SCALE_BIG, one))
+        sh = sh + _BIG_PER_SMALL * (lo.astype(jnp.int32) - hi.astype(jnp.int32))
+    return v, sh
+
+
+def _log_prod_terms(y, b_col):
+    """``sum_j log(1 - b*y_j)`` per row via a renormalized product tree.
+
+    Invalid slots of ``y`` are exactly 0 (factor ``1 - b*0 == 1``, an exact
+    no-op).  Each multiply carries <= eps relative error and the closing log
+    turns those multiplicative errors additive: |error| <= ~2M*eps absolute
+    on the log — the same class as the reference's own rounding of the
+    term-by-term ``log1p`` sum, and with NO possible cancellation (all
+    factors are positive), so unlike pair-merged ``log1p`` rewrites this
+    needs no data-dependent accuracy guard and is safe under ``vmap``.
+    Leaf factors are unbounded when the candidate b is very negative
+    (extreme-spread tails make the Zhang-Stephens grid wide — under full-
+    range IEEE f64 they can reach ~2^1024), so leaves get the wide ladder
+    (:func:`_renorm_wide`) followed by 3 regular steps; interior products
+    of two in-range partials lie in [2^-60, 2^60] and need one.  Odd level
+    widths carry their last column to the next level unmultiplied — no
+    power-of-two padding.
+    """
+    t = 1.0 - b_col[:, None] * y
+    sh = jnp.zeros(t.shape, jnp.int32)
+    t, sh = _renorm_wide(t, sh, steps=3)
+    t, sh = _renorm(t, sh, steps=3)
+    while t.shape[1] > 1:
+        h = t.shape[1] // 2
+        odd = t.shape[1] - 2 * h
+        tn = t[:, :h] * t[:, h : 2 * h]
+        shn = sh[:, :h] + sh[:, h : 2 * h]
+        if odd:
+            tn = jnp.concatenate([tn, t[:, 2 * h :]], axis=1)
+            shn = jnp.concatenate([shn, sh[:, 2 * h :]], axis=1)
+        t, sh = _renorm(tn, shn)
+    return jnp.log(t[:, 0]) - sh[:, 0].astype(t.dtype) * _LOG_RENORM_SCALE
+
+
+def _linear_b_post(y, nf, b, valid, product=False):
     """Posterior-mean b over a candidate set (reference ``psis.py:186-205``).
 
     ``b`` is (B, C) candidates with validity mask ``valid``; the profile
     log-likelihood is scanned column-by-column to bound peak memory at
     O(B*M) per step.  Invalid candidates carry exactly zero weight.
 
-    ``paired=True`` merges exceedance terms two at a time before the log:
-    ``log1p(-p) + log1p(-q) = log1p(p*q - p - q)`` — halving the float64
-    ``log1p`` count, the dominant cost of the exact path on TPU where f64
-    transcendentals are emulated.  The merge loses accuracy only when BOTH
-    members of a pair have ``1 - b*y`` small (the product cancels at
-    magnitude ~1), so the largest exceedances pair with the smallest
-    (head/tail), and a rigorous per-row error bound — evaluated at the most
-    extreme positive candidate, where the pair condition numbers are
-    maximal — falls back to the term-by-term scan for the whole batch via
-    ``lax.cond`` when any row could exceed ``_PAIRED_KSUM_TOL``.
+    ``product=True`` evaluates each candidate's profile log-likelihood as
+    the log of a renormalized product (:func:`_log_prod_terms`): one f64
+    transcendental per row per candidate instead of M, which is the
+    difference between ~250 ms and ~20 ms per 62.5k x 4000 chunk on a v5e
+    where f64 transcendentals are emulated.
     """
     dtype = y.dtype
     eps = jnp.finfo(dtype).eps
     nf_safe = jnp.where(nf == 0, 1.0, nf)
 
-    def seq_scan(y_):
+    if product:
+
         def profile_loglik(_, b_col):
-            terms = jnp.log1p(-b_col[:, None] * y_)
+            return None, _log_prod_terms(y, b_col) / nf_safe
+
+    else:
+
+        def profile_loglik(_, b_col):
+            terms = jnp.log1p(-b_col[:, None] * y)
             return None, jnp.sum(terms, axis=1) / nf_safe
 
-        _, k_cols = jax.lax.scan(profile_loglik, None, b.T)
-        return k_cols.T
-
-    if paired:
-        B, M = y.shape
-        half = -(-M // 2)
-        pad = 2 * half - M
-        yp = jnp.pad(y, ((0, 0), (0, pad))) if pad else y
-        # head/tail pairing: a zero partner makes the merged term exactly
-        # log1p(-p), so padding and invalid slots stay exact no-ops
-        y1 = yp[:, :half]
-        y2 = yp[:, half:][:, ::-1]
-
-        def paired_scan(y_unused):
-            def profile_loglik(_, b_col):
-                p = b_col[:, None] * y1
-                q = b_col[:, None] * y2
-                # (1-p)(1-q) computed EXPLICITLY: 1-p is exact by Sterbenz
-                # for p in [0.5, 2] — precisely the near-boundary regime
-                # where the naive log1p(pq-p-q) form cancels catastrophically
-                # — and elsewhere carries only ~eps relative error, so the
-                # per-term deviation from the reference's own
-                # log1p(-p)+log1p(-q) rounding stays O(eps*(1+|log term|)).
-                return None, jnp.sum(
-                    jnp.log((1.0 - p) * (1.0 - q)), axis=1
-                ) / nf_safe
-
-            _, k_cols = jax.lax.scan(profile_loglik, None, b.T)
-            return k_cols.T
-
-        # Per-pair relative error of (1-p)(1-q) computed as 1 + (pq-p-q):
-        # <= 4*eps*(1+|p|)(1+|q|)/((1-p)(1-q)), which for a fixed pair is
-        # maximal at the largest positive candidate b and <= 4*eps for any
-        # negative candidate — so the bound at max(b, 0) covers the grid.
-        b_hi = jnp.maximum(jnp.max(jnp.where(valid, b, 0.0), axis=1), 0.0)
-        ph = b_hi[:, None] * y1
-        qh = b_hi[:, None] * y2
-        num = (1.0 + ph) * (1.0 + qh)
-        den = (1.0 - ph) * (1.0 - qh)
-        ratio = jnp.where(den > 0.0, num / jnp.where(den > 0.0, den, 1.0), jnp.inf)
-        err_row = 4.0 * eps * jnp.sum(ratio, axis=1)
-        need_seq = jnp.any(err_row > _PAIRED_KSUM_TOL)
-
-        k_grid = jax.lax.cond(need_seq, seq_scan, paired_scan, y)
-    else:
-        k_grid = seq_scan(y)
+    _, k_cols = jax.lax.scan(profile_loglik, None, b.T, unroll=4)
+    k_grid = k_cols.T  # (B, m_max)
 
     len_scale = nf[:, None] * (jnp.log(-(b / k_grid)) - k_grid - 1.0)
     len_scale = jnp.where(valid, len_scale, -jnp.inf)
@@ -375,17 +436,24 @@ def _linear_b_post(y, nf, b, valid, paired=False):
     return jnp.sum(w * b, axis=1)
 
 
-def _linear_fit_close(y, nf, b_post):
-    """Final k/sigma from the posterior-mean b (reference ``psis.py:200-207``)."""
+def _linear_fit_close(y, nf, b_post, product=False):
+    """Final k/sigma from the posterior-mean b (reference ``psis.py:200-207``).
+
+    ``product=True`` evaluates the closing profile sum as a renormalized
+    product too (:func:`_log_prod_terms`).
+    """
     nf_safe = jnp.where(nf == 0, 1.0, nf)
-    k_post = jnp.sum(jnp.log1p(-b_post[:, None] * y), axis=1) / nf_safe
+    if product:
+        k_post = _log_prod_terms(y, b_post) / nf_safe
+    else:
+        k_post = jnp.sum(jnp.log1p(-b_post[:, None] * y), axis=1) / nf_safe
     sign_sigma = jnp.sign(-k_post / b_post)
     log_sigma = jnp.log(jnp.abs(k_post)) - jnp.log(jnp.abs(b_post))
     k_post = (nf * k_post + _PRIOR_K * 0.5) / (nf + _PRIOR_K)
     return k_post, sign_sigma, log_sigma
 
 
-def _gpdfit_batch_linear(log_ary, n, log_quart=None, log_last=None, paired=False):
+def _gpdfit_batch_linear(log_ary, n, log_quart=None, log_last=None, product=False):
     """Reference-verbatim Zhang-Stephens fit in LINEAR domain (f64 path).
 
     Requires ``log_ary <= 0``: exceedances of max-shifted log weights are
@@ -398,39 +466,62 @@ def _gpdfit_batch_linear(log_ary, n, log_quart=None, log_last=None, paired=False
     (``psis.py:163-208``): same candidate grid, same profile likelihood,
     same posterior-mean b, same k shrinkage.
 
-    Same signature/returns as :func:`_gpdfit_batch`; ``paired=True`` opts
-    into the guarded pair-merged profile scan (see :func:`_linear_b_post` —
-    do not enable under ``vmap``).  The closing ``k_post`` pass over the
-    posterior-mean b stays term-by-term in every mode.
+    Same signature/returns as :func:`_gpdfit_batch`; ``product=True`` opts
+    the profile-likelihood scans (grid AND closing pass) into the
+    renormalized-product evaluation (:func:`_log_prod_terms`) — uniformly
+    accurate (error ~M*eps absolute, no cancellation), vmap-safe, and ~10x
+    cheaper on TPU's emulated f64.
     """
     y, nf, b, grid_valid = _linear_candidate_grid(log_ary, n, log_quart, log_last)
-    b_post = _linear_b_post(y, nf, b, grid_valid, paired=paired)
-    return _linear_fit_close(y, nf, b_post)
+    b_post = _linear_b_post(y, nf, b, grid_valid, product=product)
+    return _linear_fit_close(y, nf, b_post, product=product)
 
 
-# NOTE — a certificate-pruned candidate scan (float32 prescan bounding which
-# candidates can survive the reference's ``w >= 10*eps`` threshold, float64
-# scan over the top-T survivors only) was built and then REMOVED here: on
-# light-tailed data ~40 of the 43 candidates genuinely survive the 34-nat
-# threshold (measured over normal/t3/ties/tiny-variance batteries), so the
-# exact fallback fired on essentially every realistic batch.  The speed
-# lever for the float64 scan is pairwise term grouping instead (see
-# :func:`_linear_b_post`).
+def _gpdfit_from_y(y, nf, y_quart, y_last, product=False):
+    """Reference-verbatim Zhang-Stephens fit over LINEAR exceedances.
+
+    ``y`` is (B, M) descending linear exceedances with invalid slots exactly
+    0 — the reference's own working representation
+    (``exp(x_tail) - exp(cutoff)``, ``psis.py:139-150``), so no log-domain
+    round trip at all.  Returns ``(k_post, sigma)`` with sigma LINEAR
+    (reference ``psis.py:205-208``: ``sigma = -k_post/b_post`` before the
+    prior shrinkage of k).
+    """
+    b, grid_valid = _candidate_grid_y(y, nf, y_quart, y_last)
+    b_post = _linear_b_post(y, nf, b, grid_valid, product=product)
+    nf_safe = jnp.where(nf == 0, 1.0, nf)
+    if product:
+        k_post = _log_prod_terms(y, b_post) / nf_safe
+    else:
+        k_post = jnp.sum(jnp.log1p(-b_post[:, None] * y), axis=1) / nf_safe
+    sigma = -k_post / b_post
+    k_post = (nf * k_post + _PRIOR_K * 0.5) / (nf + _PRIOR_K)
+    return k_post, sigma
 
 
-def _gpdfit_dispatch(log_exceed, n_tail, log_quart, log_last, prune_grid=False):
+# NOTE — two rejected designs for speeding the f64 profile scan, kept for
+# the record: (1) a certificate-pruned candidate scan (float32 prescan
+# bounding which candidates can survive the reference's ``w >= 10*eps``
+# threshold) died because ~40 of the 43 candidates genuinely survive on
+# light-tailed data, so the exact fallback fired on essentially every
+# realistic batch; (2) a pair-merged ``log1p(-p)+log1p(-q) = log((1-p)(1-q))``
+# scan halved the transcendental count but needed a data-dependent accuracy
+# guard (catastrophic cancellation when both pair members approach the
+# boundary) and a ``lax.cond`` fallback that broke under vmap.  The
+# renormalized product tree (:func:`_log_prod_terms`) strictly dominates
+# both: one transcendental per candidate, no guard, no cond.
+
+
+def _gpdfit_dispatch(log_exceed, n_tail, log_quart, log_last, product=False):
     """Pick the fit for max-shifted PSIS exceedances (log values <= 0).
 
     float64 -> the reference-verbatim linear fit (cheap even under TPU's
     emulated f64, where every transcendental costs multiple f32 ops);
     float32 -> the signed-log fit (robust to exp underflow below ~e^-88).
 
-    ``prune_grid=True`` enables the paired profile-likelihood scan in the
-    float64 fit (:func:`_linear_b_post` with ``paired=True``), which halves
-    the dominant f64 ``log1p`` count; a chunk-level accuracy guard falls
-    back to the term-by-term scan via ``lax.cond``.  Only enable on
-    un-vmapped batch entry points: under vmap the cond lowers to a
-    both-branches ``select``.
+    ``product=True`` opts the float64 fit's profile-likelihood scans into
+    the renormalized-product evaluation (one f64 ``log`` per candidate
+    instead of one ``log1p`` per tail element — see :func:`_log_prod_terms`).
     """
     if log_exceed.dtype == jnp.dtype(jnp.float64):
         return _gpdfit_batch_linear(
@@ -438,7 +529,7 @@ def _gpdfit_dispatch(log_exceed, n_tail, log_quart, log_last, prune_grid=False):
             n_tail,
             log_quart=log_quart,
             log_last=log_last,
-            paired=prune_grid,
+            product=product,
         )
     return _gpdfit_batch(
         log_exceed, n_tail, log_quart=log_quart, log_last=log_last

@@ -364,15 +364,18 @@ class TestFastPathAdversarial:
         assert_allclose(kf[finite], k[finite], atol=2e-2)
 
 
-class TestPairedLinearFit:
-    """The pair-merged float64 profile scan (``_linear_b_post(paired=True)``).
+class TestProductScanFit:
+    """The renormalized-product float64 profile scan (``product=True``).
 
-    ``loo_scores_psis`` enables it (halving the exact path's dominant f64
-    ``log1p`` count); these pin that the merged form matches the term-by-term
-    scan to the same class of deviation the sequential scan itself shows
-    against the reference (sum-order conditioning of the Zhang-Stephens
-    posterior mean), and that the accuracy guard's ``lax.cond`` fallback
-    fires on its designed trigger.
+    ``loo_scores_psis`` enables it (one f64 transcendental per candidate
+    instead of one per tail element); these pin that the product form
+    matches the term-by-term scan to the same class of deviation the
+    sequential scan itself shows against the reference (sum-order
+    conditioning of the Zhang-Stephens posterior mean), including on the
+    degenerate and extreme-spread tails that broke the earlier pair-merged
+    rewrite (the product of positive factors cannot cancel, and the
+    power-of-two renormalization keeps partials in range even under TPU's
+    float32-exponent-range f64 emulation).
     """
 
     S = 1200
@@ -409,8 +412,8 @@ class TestPairedLinearFit:
         from pyloo_tpu.ops.psis import _gpdfit_batch_linear
 
         la, n, lq, llast = self._fit_inputs(ll)
-        k0, s0, g0 = _gpdfit_batch_linear(la, n, lq, llast, paired=False)
-        k1, s1, g1 = _gpdfit_batch_linear(la, n, lq, llast, paired=True)
+        k0, s0, g0 = _gpdfit_batch_linear(la, n, lq, llast, product=False)
+        k1, s1, g1 = _gpdfit_batch_linear(la, n, lq, llast, product=True)
         live = np.asarray(n) > 4
         return (live,) + tuple(map(np.asarray, (k0, s0, g0, k1, s1, g1)))
 
@@ -425,9 +428,19 @@ class TestPairedLinearFit:
         assert np.array_equal(s0[live], s1[live], equal_nan=True)
 
     @pytest.mark.parametrize(
-        "kind", ["normal", "t3", "tinyvar", "ties", "lognormal", "odd_m"]
+        "kind",
+        [
+            "normal",
+            "t3",
+            "tinyvar",
+            "ties",
+            "lognormal",
+            "odd_m",
+            "degenerate",
+            "extreme_spread",
+        ],
     )
-    def test_paired_matches_sequential(self, rng, kind):
+    def test_product_matches_sequential(self, rng, kind):
         S = self.S
         if kind == "normal":
             ll = rng.normal(-1, 1.5, size=(96, S))
@@ -439,37 +452,20 @@ class TestPairedLinearFit:
             ll = np.round(rng.normal(-1, 2, size=(96, S)) * 4) / 4
         elif kind == "lognormal":
             ll = -np.exp(2 * rng.normal(size=(96, S)))
-        else:  # odd tail budget M -> zero-padded partner slot stays exact
+        elif kind == "odd_m":  # non-pow2 tail budget -> zero-padded slots
             ll = rng.normal(size=(96, 901))
+        elif kind == "degenerate":
+            # near-equal tails (the pair-merge killer: factors all ~0 there)
+            ll = np.full((48, S), -2.0)
+            ll[:, :6] = rng.normal(size=(48, 6))
+        else:  # extreme spread: tail exceedances span ~100 nats, so the
+            # grid's negative candidates make leaf factors ~e^90 — exercises
+            # the multi-step leaf renormalization
+            ll = 50.0 * rng.normal(size=(64, S))
         # the bound is the sequential scan's OWN sum-order deviation class
-        # vs the reference (measured 3e-12 on t3); realistic data sits at
-        # 1e-13
+        # vs the reference (measured 3e-12 on t3); the product tree's error
+        # is ~2*P*eps absolute on the profile sum, far below it
         self._assert_close(ll, atol=5e-12)
-
-    def test_guard_fallback_fires_and_is_exact(self, rng):
-        """Near-degenerate tails trip the pair-condition guard; the cond
-        then routes to the term-by-term scan, so results are bitwise equal."""
-        import jax
-
-        from pyloo_tpu.ops import psis as psis_mod
-
-        ll = np.full((48, self.S), -2.0)
-        ll[:, :6] = rng.normal(size=(48, 6))
-        flags = []
-        orig = jax.lax.cond
-
-        def spy(pred, tf, ff, op):
-            flags.append(bool(pred))
-            return orig(pred, tf, ff, op)
-
-        jax.lax.cond = spy
-        try:
-            live, k0, s0, g0, k1, s1, g1 = self._both(ll)
-        finally:
-            jax.lax.cond = orig
-        assert flags and flags[-1], "guard should fire on degenerate tails"
-        assert np.array_equal(k0, k1, equal_nan=True)
-        assert np.array_equal(g0, g1, equal_nan=True)
 
     def test_exact_path_end_to_end_unchanged_class(self, rng):
         """loo_scores_psis (paired) vs a sequential-fit replica at 1e-12 on

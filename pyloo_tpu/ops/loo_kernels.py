@@ -240,8 +240,6 @@ def loo_scores_psis(log_lik, tail_max: int):
     M = tail_max
     cutoff_floor = jnp.asarray(_CUTOFF_FLOOR, dtype)
 
-    C1 = jnp.max(x_raw, axis=1)
-
     # Selection stays in native float64: sorting is COMPARISON-only, and
     # comparisons cost the same under TPU's emulated f64 as in f32 — only
     # arithmetic pays the emulation tax.  Measured on v5e at 62.5k x 4000:
@@ -253,8 +251,11 @@ def loo_scores_psis(log_lik, tail_max: int):
     # (B, S) f64 subtraction never materializes: the max-shift is applied to
     # the compact (B, M+1) winners — per-element the identical ``x - C1``
     # operation, hence bit-identical values — and fuses into the single
-    # non-tail logsumexp pass over the full row.
-    vals = topk_vals_desc(x_raw, M + 1) - C1[:, None]
+    # non-tail logsumexp pass over the full row.  The row max is the top-1
+    # winner, so no separate full-row max pass either.
+    vals_raw = topk_vals_desc(x_raw, M + 1)
+    C1 = vals_raw[:, 0]
+    vals = vals_raw - C1[:, None]
 
     xcutoff = jnp.maximum(vals[:, M], cutoff_floor)
     # the largest non-tail element is the (n_tail+1)-th order statistic,

@@ -649,7 +649,7 @@ def psislw_batch(log_weights, tail_max: int):
     log_last = log_exceed[:, 0]
 
     k, sign_sigma, log_sigma = _gpdfit_dispatch(
-        log_exceed, n_tail, log_quart, log_last
+        log_exceed, n_tail, log_quart, log_last, product=True
     )
 
     # inverse-CDF smoothing at plotting positions, in log space:

@@ -31,26 +31,31 @@ def clean_log_likelihood(log_likelihood: DataArray, context="LOO", clean_inf=Fal
     Mirrors reference behavior at ``pyloo/loo.py:218-227`` and
     ``pyloo/waic.py:110-132``.
     """
-    values = log_likelihood.values
-    if np.any(np.isnan(values)):
+    # the NaN/inf scans are order-independent, so run them on whatever layout
+    # the payload currently has — a lazily-stacked array stays lazy (and keeps
+    # its device fast path) when the data is clean, which is the common case
+    scan_values = log_likelihood._elementwise_values()
+    values = None
+    if np.any(np.isnan(scan_values)):
         warnings.warn(
             f"NaN values detected in log-likelihood. These will be ignored in"
             f" the {context} calculation.",
             UserWarning,
             stacklevel=3,
         )
-        values = np.where(np.isnan(values), -1e10, values)
+        values = np.where(np.isnan(log_likelihood.values), -1e10, log_likelihood.values)
         log_likelihood = DataArray(
             values, log_likelihood.dims, dict(log_likelihood.coords),
             log_likelihood.name,
         )
-    if clean_inf and np.any(np.isinf(values)):
+    if clean_inf and np.any(np.isinf(values if values is not None else scan_values)):
         warnings.warn(
             f"Infinite values detected in log-likelihood. These will be"
             f" ignored in the {context} calculation.",
             UserWarning,
             stacklevel=3,
         )
+        values = log_likelihood.values if values is None else values
         values = np.where(
             np.isinf(values), np.where(values > 0, 1e10, -1e10), values
         )

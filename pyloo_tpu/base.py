@@ -9,6 +9,7 @@ batch axis and makes a single sharded device call
 
 from __future__ import annotations
 
+import functools
 from enum import Enum
 from typing import Union
 
@@ -20,6 +21,54 @@ from .parallel import apply_rowwise
 from .rcparams import rcParams
 
 __all__ = ["ISMethod", "compute_importance_weights"]
+
+
+# On an accelerator, the obs-major swap of a lazily-stacked payload runs on
+# device (the host ships the original contiguous buffer; XLA transposes at HBM
+# bandwidth).  On the CPU backend the "device" is the same host core, so the
+# swap is just a slower copy — keep numpy's.  Tests force the device path.
+_FORCE_DEVICE_INGEST = False
+
+
+def _device_ingest_enabled() -> bool:
+    if _FORCE_DEVICE_INGEST:
+        return True
+    import jax
+
+    return jax.default_backend() != "cpu"
+
+
+@functools.lru_cache(maxsize=64)
+def _obs_major_program(shape, order, n_collapse, dtype_name):
+    """Compiled device program: transpose to obs-major, flatten, cast.
+
+    One tiny XLA program per (shape, permutation, dtype) — the swap runs at
+    HBM bandwidth instead of as a single-threaded strided host copy.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    n_lead = len(shape) - n_collapse
+
+    def prep(x):
+        v = jnp.transpose(x, order)
+        lead = 1
+        for s in v.shape[:n_lead]:
+            lead *= s
+        return v.reshape(max(lead, 1), -1).astype(dtype_name)
+
+    return jax.jit(prep)
+
+
+def _obs_major_device_matrix(base, order, n_collapse, dtype):
+    """Ship the contiguous pre-stack payload and swap to (N, S) on device."""
+    import jax
+
+    dev = jax.device_put(base)
+    fn = _obs_major_program(
+        base.shape, tuple(order), int(n_collapse), np.dtype(dtype).name
+    )
+    return fn(dev)
 
 
 class ISMethod(str, Enum):
@@ -52,14 +101,29 @@ def as_sample_matrix(log_weights):
             else:
                 raise ValueError("log_weights must have a __sample__ dimension")
         obs_dims = tuple(d for d in da.dims if d != "__sample__")
-        da = da.transpose(*(obs_dims + ("__sample__",)))
+        target = obs_dims + ("__sample__",)
         obs_shape = tuple(da.sizes[d] for d in obs_dims)
         S = da.sizes["__sample__"]
-        matrix = np.ascontiguousarray(
-            da.values.reshape(-1, S) if obs_dims else da.values.reshape(1, S)
-        ).astype(dtype, copy=False)
         coords = {d: c for d, c in da.coords.items() if d in obs_dims}
         sample_coord = da.coords.get("__sample__")
+
+        lazy = da._lazy
+        if (
+            lazy is not None
+            and da.dims == target
+            and lazy[0].flags.c_contiguous
+            and _device_ingest_enabled()
+        ):
+            # deferred stack: the transpose-copy never happens on host — the
+            # original contiguous payload ships as-is and XLA performs the
+            # obs-major swap + cast on device at HBM bandwidth
+            matrix = _obs_major_device_matrix(lazy[0], lazy[1], lazy[2], dtype)
+        else:
+            if da.dims != target:
+                da = da.transpose(*target)
+            matrix = np.ascontiguousarray(
+                da.values.reshape(-1, S) if obs_dims else da.values.reshape(1, S)
+            ).astype(dtype, copy=False)
 
         def rebuild(lw2d, diag1d):
             lw = np.asarray(lw2d).reshape(obs_shape + (S,))

@@ -24,6 +24,12 @@ import numpy as np
 
 __all__ = ["DataArray", "Dataset", "InferenceData"]
 
+# ``stack`` defers its transpose-copy for payloads at least this large so the
+# obs-major swap can run on device (HBM bandwidth) instead of on the host
+# (single-threaded strided copy).  Tests lower this to 0 to exercise the lazy
+# representation end-to-end at small shapes.
+_LAZY_STACK_MIN_ELEMS = 1 << 20
+
 
 def _as_array(values: Any) -> np.ndarray:
     """Coerce to a host numpy array (materializes JAX arrays)."""
@@ -45,16 +51,17 @@ class DataArray:
     name : str, optional
     """
 
-    __slots__ = ("values", "dims", "coords", "name")
+    __slots__ = ("_values", "_lazy", "dims", "coords", "name")
 
     def __init__(self, values, dims=None, coords=None, name=None):
-        self.values = _as_array(values)
+        self._lazy = None
+        self._values = _as_array(values)
         if dims is None:
-            dims = tuple(f"dim_{i}" for i in range(self.values.ndim))
+            dims = tuple(f"dim_{i}" for i in range(self._values.ndim))
         dims = tuple(dims)
-        if len(dims) != self.values.ndim:
+        if len(dims) != self._values.ndim:
             raise ValueError(
-                f"dims {dims} incompatible with array of ndim {self.values.ndim}"
+                f"dims {dims} incompatible with array of ndim {self._values.ndim}"
             )
         self.dims = dims
         self.coords = {}
@@ -66,26 +73,79 @@ class DataArray:
                 self.coords[key] = arr
         self.name = name
 
+    @classmethod
+    def _lazy_stacked(cls, base, order, n_collapse, dims, coords, name):
+        """A stacked array whose transpose-copy has not happened yet.
+
+        ``base`` is the pre-stack payload; materializing applies
+        ``base.transpose(order)`` and collapses the trailing ``n_collapse``
+        axes.  Until then, device consumers (``base.as_sample_matrix``) can
+        ship ``base`` as-is and do the axis swap on device.
+        """
+        obj = cls.__new__(cls)
+        obj._values = None
+        obj._lazy = (base, tuple(order), int(n_collapse))
+        obj.dims = tuple(dims)
+        obj.coords = dict(coords)
+        obj.name = name
+        return obj
+
+    @property
+    def values(self):
+        if self._values is None:
+            base, order, k = self._lazy
+            v = base.transpose(order)
+            self._values = v.reshape(v.shape[: v.ndim - k] + (-1,))
+            self._lazy = None
+        return self._values
+
+    @values.setter
+    def values(self, new):
+        self._values = _as_array(new)
+        self._lazy = None
+
+    def _elementwise_values(self):
+        """The payload in SOME layout, for order-independent scans (isnan etc.).
+
+        Returns the un-transposed base of a lazy-stacked array — same elements,
+        different order — without triggering the materializing copy.
+        """
+        if self._values is None:
+            return self._lazy[0]
+        return self._values
+
     # -- basic introspection ------------------------------------------------
     @property
     def shape(self):
-        return self.values.shape
+        if self._values is None:
+            base, order, k = self._lazy
+            pre = tuple(base.shape[i] for i in order)
+            lead = pre[: len(pre) - k]
+            collapsed = 1
+            for s in pre[len(pre) - k :]:
+                collapsed *= s
+            return lead + (collapsed,)
+        return self._values.shape
 
     @property
     def ndim(self):
-        return self.values.ndim
+        return len(self.dims)
 
     @property
     def size(self):
-        return self.values.size
+        if self._values is None:
+            return self._lazy[0].size
+        return self._values.size
 
     @property
     def dtype(self):
-        return self.values.dtype
+        if self._values is None:
+            return self._lazy[0].dtype
+        return self._values.dtype
 
     @property
     def sizes(self):
-        return dict(zip(self.dims, self.values.shape))
+        return dict(zip(self.dims, self.shape))
 
     def __len__(self):
         return self.values.shape[0]
@@ -206,14 +266,20 @@ class DataArray:
         )
 
     def stack(self, **mapping):
-        """Collapse dims into one new trailing dim (xarray ordering semantics)."""
+        """Collapse dims into one new trailing dim (xarray ordering semantics).
+
+        When the collapse would force a transpose-copy of a large payload
+        (e.g. the canonical ``(chain, draw, obs)`` log-likelihood layout), the
+        copy is DEFERRED: the result carries the original array plus the axis
+        permutation, and materializes only if host code reads ``.values``.
+        Device consumers (:func:`pyloo_tpu.base.as_sample_matrix`) detect the
+        deferred form and perform the swap on device instead.
+        """
         out = self
         for new_dim, old_dims in mapping.items():
             old_dims = tuple(old_dims)
             keep = tuple(d for d in out.dims if d not in old_dims)
-            out = out.transpose(*(keep + old_dims))
-            lead = out.values.shape[: len(keep)]
-            values = out.values.reshape(lead + (-1,))
+            order = tuple(out.dims.index(d) for d in keep + old_dims)
             coords = {d: c for d, c in out.coords.items() if d in keep}
             # stacked coordinate: tuples of the component labels
             comp = [out.get_index(d) for d in old_dims]
@@ -223,7 +289,16 @@ class DataArray:
             for i in range(mesh[0].size):
                 stacked[i] = tuple(f[i] for f in flat)
             coords[new_dim] = stacked
-            out = DataArray(values, keep + (new_dim,), coords, out.name)
+            new_dims = keep + (new_dim,)
+            base = out.values
+            view = base.transpose(order)
+            lead = view.shape[: len(keep)]
+            if view.size >= _LAZY_STACK_MIN_ELEMS and not view.flags.c_contiguous:
+                out = DataArray._lazy_stacked(
+                    base, order, len(old_dims), new_dims, coords, out.name
+                )
+            else:
+                out = DataArray(view.reshape(lead + (-1,)), new_dims, coords, out.name)
         return out
 
     def expand_dims(self, dim, axis=0):

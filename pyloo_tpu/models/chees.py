@@ -57,6 +57,7 @@ def _run(
     num_samples: int,
     max_leapfrog: int,
     target_accept: float,
+    step_size_jitter: float,
 ):
     C, D = init_q.shape
     grad_fn = jax.grad(potential_fn)
@@ -64,15 +65,20 @@ def _run(
     mm_lo, mm_hi = int(num_warmup * 0.25), int(num_warmup * 0.85)
 
     def leapfrog_all(q, p, eps, inv_mass, n_steps):
-        """n_steps of leapfrog for all chains in lockstep (while_loop)."""
+        """n_steps of leapfrog for all chains in lockstep (while_loop).
+
+        ``eps`` is per-chain (C,): every chain takes the SAME number of steps
+        (SIMD lockstep preserved) with its own step size, so trajectory
+        lengths decorrelate across chains without breaking batching.
+        """
 
         def body(state):
             i, q, p = state
             g = jax.vmap(grad_fn)(q)
-            p = p - 0.5 * eps * g
-            q = q + eps * inv_mass[None, :] * p
+            p = p - 0.5 * eps[:, None] * g
+            q = q + eps[:, None] * inv_mass[None, :] * p
             g = jax.vmap(grad_fn)(q)
-            p = p - 0.5 * eps * g
+            p = p - 0.5 * eps[:, None] * g
             return i + 1, q, p
 
         def cond(state):
@@ -85,7 +91,7 @@ def _run(
         (q, log_eps, log_eps_avg, h_sum, da_count, mu_da,
          log_T, adam, welford, inv_mass) = carry
         t, step_key = inputs
-        k_mom, k_acc = jax.random.split(step_key)
+        k_mom, k_acc, k_eps = jax.random.split(step_key, 3)
 
         in_adapt = t < num_warmup
         eps = jnp.where(in_adapt, jnp.exp(log_eps), jnp.exp(log_eps_avg))
@@ -96,11 +102,18 @@ def _run(
         n_steps = jnp.clip(
             jnp.ceil(traj_time / eps).astype(jnp.int32), 1, max_leapfrog
         )
+        # per-chain multiplicative step-size jitter (uniform in
+        # [1-j, 1+j] around the adapted base): breaks the exact resonance a
+        # single shared step size can hit on near-periodic orbits, and
+        # decorrelates chains for the cross-chain ChEES expectation.  The
+        # step COUNT stays shared, so chains remain one lockstep program.
+        u = jax.random.uniform(k_eps, (C,))
+        eps_c = eps * (1.0 + step_size_jitter * (2.0 * u - 1.0))
 
         p = jax.random.normal(k_mom, (C, D)) / jnp.sqrt(inv_mass)[None, :]
         pot0 = jax.vmap(potential_fn)(q)
         h0 = pot0 + 0.5 * jnp.sum(inv_mass[None, :] * p**2, axis=1)
-        q_new, p_new = leapfrog_all(q, p, eps, inv_mass, n_steps)
+        q_new, p_new = leapfrog_all(q, p, eps_c, inv_mass, n_steps)
         pot1 = jax.vmap(potential_fn)(q_new)
         h1 = pot1 + 0.5 * jnp.sum(inv_mass[None, :] * p_new**2, axis=1)
         log_accept = jnp.where(jnp.isfinite(h1), h0 - h1, -jnp.inf)
@@ -202,16 +215,28 @@ def sample_chees(
     *,
     num_warmup: int = 1000,
     num_samples: int = 1000,
-    num_chains: int = 4,
+    num_chains: int = 16,
     max_leapfrog: int = 512,
     target_accept: float = 0.75,
+    step_size_jitter: float = 0.2,
     seed: int = 0,
 ):
     """Sample with ChEES-adapted HMC (shared adaptive trajectory length).
 
     Same contract as :func:`pyloo_tpu.models.hmc.sample_hmc`; returns
     ``(draws (C, T, D), mean_accept)``.
+
+    The ChEES criterion is a cross-chain expectation, so its gradient is
+    noisy at few chains — the default is 16 chains (the paper uses up to
+    128; chains are a batch dimension on TPU, so more chains cost little).
+    ``step_size_jitter`` (fraction, default 0.2) draws each chain's step
+    size uniformly in ``eps * [1-j, 1+j]`` per iteration while keeping the
+    leapfrog step count shared across chains.
     """
+    if not 0.0 <= step_size_jitter < 1.0:
+        raise ValueError(
+            f"step_size_jitter must be in [0, 1), got {step_size_jitter}"
+        )
     init = np.asarray(init, dtype=np.float64)
     key = jax.random.PRNGKey(seed)
     if init.ndim == 1:
@@ -227,6 +252,6 @@ def sample_chees(
 
     draws, accs, steps = _run(
         potential, init_q, key, num_warmup, num_samples, max_leapfrog,
-        target_accept,
+        target_accept, step_size_jitter,
     )
     return np.asarray(draws), float(np.mean(np.asarray(accs)))

@@ -199,3 +199,44 @@ class TestNuts:
         mu = idata.posterior.mu.values
         assert mu.shape == (2, 300)
         assert rhat(mu) < 1.05
+
+
+class TestCheesJitter:
+    """Per-chain step-size jitter (round-3 ChEES productionizing)."""
+
+    def test_jitter_validation(self):
+        from pyloo_tpu.models.chees import sample_chees
+
+        with pytest.raises(ValueError, match="step_size_jitter"):
+            sample_chees(lambda q: -0.5 * q[0] ** 2, np.zeros(1),
+                         step_size_jitter=1.5)
+        with pytest.raises(ValueError, match="step_size_jitter"):
+            sample_chees(lambda q: -0.5 * q[0] ** 2, np.zeros(1),
+                         step_size_jitter=-0.1)
+
+    def test_heavy_jitter_still_recovers(self):
+        # jitter=0.5 stresses the accept-reject correction: the posterior
+        # must stay exact regardless of per-chain step-size perturbation
+        from pyloo_tpu.models.chees import sample_chees
+
+        def lp(q):
+            return -0.5 * jnp.sum(q**2)
+
+        draws, acc = sample_chees(
+            lp, np.zeros(2), num_warmup=400, num_samples=400,
+            num_chains=8, max_leapfrog=64, step_size_jitter=0.5, seed=7,
+        )
+        d = draws.reshape(-1, 2)
+        assert abs(d.mean()) < 0.1
+        assert abs(d.std() - 1.0) < 0.1
+        assert 0.4 < acc <= 1.0
+        assert rhat(draws[:, :, 0]) < 1.02
+
+    def test_many_chain_default(self):
+        import inspect
+
+        from pyloo_tpu.models.chees import sample_chees
+
+        sig = inspect.signature(sample_chees)
+        assert sig.parameters["num_chains"].default == 16
+        assert sig.parameters["step_size_jitter"].default == 0.2

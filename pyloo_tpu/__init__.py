@@ -71,7 +71,7 @@ from .streaming import (
     loo_streaming,
     loo_subsample_streaming,
 )
-from .psis import psislw
+from .psis import CompactWeights, psislw, psislw_compact
 from .rcparams import rcParams
 from .sis import sislw
 from .tis import tislw
@@ -135,6 +135,8 @@ __all__ = [
     "compute_pareto_k",
     "k_hat",
     "psislw",
+    "psislw_compact",
+    "CompactWeights",
     "sislw",
     "tislw",
     "rcParams",

@@ -7,12 +7,23 @@ the reference's per-observation ``np.ndindex`` Python loop,
 """
 
 from .lse import logsumexp
-from .psis import gpdfit, gpinv, psislw_batch, sislw_batch, tislw_batch, tail_length
+from .psis import (
+    compact_weighted_mean,
+    gpdfit,
+    gpinv,
+    psislw_batch,
+    psislw_compact_batch,
+    sislw_batch,
+    tislw_batch,
+    tail_length,
+)
 from .ess import ess_mean, relative_eff
 
 __all__ = [
     "logsumexp",
     "psislw_batch",
+    "psislw_compact_batch",
+    "compact_weighted_mean",
     "sislw_batch",
     "tislw_batch",
     "gpdfit",

@@ -596,37 +596,21 @@ def gpinv(probs, kappa, sigma):
 # ---------------------------------------------------------------------------
 
 
-@partial(jax.jit, static_argnames=("tail_max",))
-def psislw_batch(log_weights, tail_max: int):
-    """Pareto-smooth a batch of log-weight rows.
+def _smoothed_tail_desc(tail_vals, xcutoff, tail_max: int):
+    """Shared element-level tail smoothing in descending top-k layout.
 
-    Parameters
-    ----------
-    log_weights : (B, S) array
-        Raw log importance weights, one row per observation.
-    tail_max : int
-        Static tail budget M (from :func:`tail_length`).
+    Unlike the scatter-free SUM kernels (``loo_kernels._psis_tail_scores``),
+    this emits per-ELEMENT smoothed values, so it replicates the reference's
+    stable-ascending-argsort plotting positions within tied runs
+    (``pyloo/psis.py:152-156``).
 
-    Returns
-    -------
-    lw : (B, S) array
-        Smoothed, truncated-at-zero, logsumexp-normalized log weights.
-    khat : (B,) array
-        Pareto shape diagnostic; ``inf`` where the tail had <= 4 exceedances.
+    Returns ``(smoothed_desc, slot_valid, n_tail, k, smooth_ok)`` where
+    ``smoothed_desc`` is NaN-poisoned on sigma <= 0 fits (reference ``gpinv``
+    semantics) and NOT yet truncated at zero.
     """
-    x = jnp.asarray(log_weights)
-    dtype = x.dtype
-    B, S = x.shape
-    cutoff_floor = jnp.asarray(_cutoffmin(dtype), dtype=dtype)
+    dtype = tail_vals.dtype
+    B = tail_vals.shape[0]
 
-    x = x - jnp.max(x, axis=1, keepdims=True)
-
-    # candidate tail: the top M draws; the (M+1)-th largest is the cutoff
-    vals, idx = jax.lax.top_k(x, tail_max + 1)  # descending, (B, M+1)
-    xcutoff = jnp.maximum(vals[:, tail_max], cutoff_floor)  # (B,)
-
-    tail_vals = vals[:, :tail_max]
-    tail_idx = idx[:, :tail_max]
     in_tail = tail_vals > xcutoff[:, None]  # strict, preserves tie semantics
     n_tail = jnp.sum(in_tail.astype(jnp.int32), axis=1)  # (B,)
 
@@ -704,6 +688,43 @@ def psislw_batch(log_weights, tail_max: int):
     smoothed_desc = jnp.where(sign_sigma[:, None] > 0, smoothed_desc, jnp.nan)
 
     smooth_ok = (n_tail > 4) & jnp.isfinite(k)
+    return smoothed_desc, slot_valid, n_tail, k, smooth_ok
+
+
+@partial(jax.jit, static_argnames=("tail_max",))
+def psislw_batch(log_weights, tail_max: int):
+    """Pareto-smooth a batch of log-weight rows.
+
+    Parameters
+    ----------
+    log_weights : (B, S) array
+        Raw log importance weights, one row per observation.
+    tail_max : int
+        Static tail budget M (from :func:`tail_length`).
+
+    Returns
+    -------
+    lw : (B, S) array
+        Smoothed, truncated-at-zero, logsumexp-normalized log weights.
+    khat : (B,) array
+        Pareto shape diagnostic; ``inf`` where the tail had <= 4 exceedances.
+    """
+    x = jnp.asarray(log_weights)
+    dtype = x.dtype
+    B, S = x.shape
+    cutoff_floor = jnp.asarray(_cutoffmin(dtype), dtype=dtype)
+
+    x = x - jnp.max(x, axis=1, keepdims=True)
+
+    # candidate tail: the top M draws; the (M+1)-th largest is the cutoff
+    vals, idx = jax.lax.top_k(x, tail_max + 1)  # descending, (B, M+1)
+    xcutoff = jnp.maximum(vals[:, tail_max], cutoff_floor)  # (B,)
+
+    tail_vals = vals[:, :tail_max]
+    tail_idx = idx[:, :tail_max]
+    smoothed_desc, slot_valid, n_tail, k, smooth_ok = _smoothed_tail_desc(
+        tail_vals, xcutoff, tail_max
+    )
 
     # scatter the smoothed tail back to original positions
     keep_orig = jnp.take_along_axis(x, tail_idx, axis=1)
@@ -718,6 +739,121 @@ def psislw_batch(log_weights, tail_max: int):
 
     khat = jnp.where(n_tail <= 4, jnp.inf, k)
     return x, khat
+
+
+@partial(jax.jit, static_argnames=("tail_max",))
+def psislw_compact_batch(log_weights, tail_max: int):
+    """Scatter-free PSIS: identical weights to :func:`psislw_batch`, but the
+    ``(B, S)`` smoothed matrix is never materialized.
+
+    The smoothed row differs from the raw row only at the <= M tail
+    positions, so the full weights decompose into a per-row scalar plus an
+    ``O(M)`` correction:
+
+        lw[b, s] = log_weights[b, s] - log_norm[b]      for s not in tail_idx
+        lw[b, tail_idx[b, j]] = tail_lw[b, j]           for every slot j
+
+    (the second line also holds for slots beyond the strict tail — they
+    carry the first line's value — so consumers may apply all M overrides
+    unconditionally).
+
+    Returns
+    -------
+    log_norm : (B,) array
+        Row normalizer: ``raw - log_norm`` is the final log weight off-tail.
+    tail_idx : (B, M) int32
+        Column indices of the top-M candidate tail, descending by value.
+    tail_lw : (B, M) array
+        Final (smoothed, truncated, normalized) log weights at ``tail_idx``.
+    khat : (B,) array
+        Same diagnostic as :func:`psislw_batch`.
+
+    Memory: ``B x (2M + 2)`` instead of ``B x S`` — 7.4x smaller at the
+    canonical S=4000 (M=269), and the correction can be applied lazily by
+    streaming consumers (e_loo expectations, moment-matching re-weights)
+    without a second full-size matrix.
+    """
+    x_raw = jnp.asarray(log_weights)
+    dtype = x_raw.dtype
+    B, S = x_raw.shape
+    cutoff_floor = jnp.asarray(_cutoffmin(dtype), dtype=dtype)
+
+    C1 = jnp.max(x_raw, axis=1)
+    x = x_raw - C1[:, None]
+
+    vals, idx = jax.lax.top_k(x, tail_max + 1)
+    xcutoff = jnp.maximum(vals[:, tail_max], cutoff_floor)
+
+    tail_vals = vals[:, :tail_max]
+    tail_idx = idx[:, :tail_max]
+    smoothed_desc, slot_valid, n_tail, k, smooth_ok = _smoothed_tail_desc(
+        tail_vals, xcutoff, tail_max
+    )
+
+    use_smoothed = slot_valid & smooth_ok[:, None]
+    scatter_vals = jnp.where(use_smoothed, smoothed_desc, tail_vals)
+    scatter_vals = jnp.where(
+        smooth_ok[:, None] & (scatter_vals > 0), 0.0, scatter_vals
+    )
+
+    # normalizer without the scatter: elements strictly above the cutoff are
+    # exactly the valid tail slots, so the row's logsumexp splits into the
+    # value-masked non-tail mass plus the (possibly smoothed) valid slots
+    m1 = jnp.take_along_axis(vals, n_tail[:, None], axis=1)[:, 0]
+    m1s = jnp.where(jnp.isfinite(m1), m1, 0.0)
+    nontail_mask = x <= xcutoff[:, None]
+    log_ntl = m1s + jnp.log(
+        jnp.sum(jnp.where(nontail_mask, jnp.exp(x - m1s[:, None]), 0.0), axis=1)
+    )
+    lse_valid = logsumexp(
+        jnp.where(slot_valid, scatter_vals, -jnp.inf), axis=1
+    )
+    denom = jnp.logaddexp(log_ntl, lse_valid)
+
+    log_norm = C1 + denom
+    tail_lw = scatter_vals - denom[:, None]
+    khat = jnp.where(n_tail <= 4, jnp.inf, k)
+    # cutoff stays in the SHIFTED domain (x - rowmax): consumers re-shift and
+    # compare there, reproducing the selection's membership bit-exactly —
+    # adding the row max back would re-round and flip boundary elements
+    return log_norm, tail_idx, tail_lw, xcutoff, khat
+
+
+@jax.jit
+def compact_weighted_mean(h, log_weights, log_norm, tail_idx, tail_lw, xcutoff):
+    """``E[h]`` per row under compact PSIS weights, scatter-free.
+
+    One pass over the raw ``(B, S)`` matrix restricted BY VALUE to the
+    non-tail (shifted ``x <= xcutoff``; strict-``>`` defines tail membership,
+    so the value mask selects exactly the unsmoothed positions), plus the
+    smoothed contributions of the <= M strict-tail slots:
+
+        E_b = sum_{x <= cutoff} h exp(raw - log_norm)
+            + sum_{j: x[idx_j] > cutoff} h[idx_j] exp(tail_lw_j)
+
+    An include-then-subtract form would cancel catastrophically: the raw
+    unsmoothed tail can exceed the smoothed normalizer by many orders of
+    magnitude (that excess is what PSIS smoothing removes), amplifying
+    float64 eps to ~1e-6 relative error.  Every term here is bounded by the
+    normalized weights instead.  The membership comparison runs in the
+    shifted domain (``raw - rowmax``, the identical subtraction the
+    selection kernel performed) so boundary elements — the cutoff order
+    statistic itself — never flip sides from re-rounding.
+    """
+    h = jnp.asarray(h)
+    lw = jnp.asarray(log_weights)
+    x = lw - jnp.max(lw, axis=1, keepdims=True)  # bit-identical to the kernel
+    nontail = x <= xcutoff[:, None]
+    base = jnp.where(nontail, jnp.exp(lw - log_norm[:, None]), 0.0)
+    e = jnp.sum(h * base, axis=1)
+    x_at = jnp.take_along_axis(x, tail_idx, axis=1)
+    h_at = jnp.take_along_axis(h, tail_idx, axis=1)
+    valid = x_at > xcutoff[:, None]
+    corr = jnp.sum(jnp.where(valid, h_at * jnp.exp(tail_lw), 0.0), axis=1)
+    out = e + corr
+    # NaN-poisoned rows (sigma <= 0 fits) must stay NaN — the masks above
+    # would otherwise silently drop every term and return 0
+    return jnp.where(jnp.isnan(log_norm), jnp.nan, out)
 
 
 # ---------------------------------------------------------------------------

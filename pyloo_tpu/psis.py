@@ -7,12 +7,13 @@ TPU kernel in :mod:`pyloo_tpu.ops.psis`.
 from __future__ import annotations
 
 from dataclasses import dataclass, field
+from typing import NamedTuple
 
 import numpy as np
 
-from .base import ISMethod, compute_importance_weights
+from .base import ISMethod, as_sample_matrix, compute_importance_weights
 
-__all__ = ["psislw", "ImportanceSamplingResult"]
+__all__ = ["psislw", "psislw_compact", "CompactWeights", "ImportanceSamplingResult"]
 
 
 @dataclass(frozen=True)
@@ -71,3 +72,95 @@ def psislw(log_weights, reff: float = 1.0):
     if hasattr(k, "rename"):
         k = k.rename("pareto_shape")
     return lw, k
+
+
+class CompactWeights(NamedTuple):
+    """Scatter-free PSIS weights: a per-row scalar plus an O(M) tail patch.
+
+    The full smoothed log-weight matrix never materializes; it is recoverable
+    elementwise as
+
+        lw[b, s] = raw[b, s] - log_norm[b]     for s not in tail_idx[b]
+        lw[b, tail_idx[b, j]] = tail_lw[b, j]  for every slot j
+
+    ``densify(raw)`` reconstructs the dense matrix (for parity checks);
+    ``weighted_mean(h, raw)`` computes ``E[h]`` under the smoothed weights in
+    one pass over the raw matrix plus an M-column correction — the lazy-
+    consumer form for e_loo / moment-matching at scale.
+    """
+
+    log_norm: np.ndarray  # (B,)
+    tail_idx: np.ndarray  # (B, M) int32
+    tail_lw: np.ndarray  # (B, M)
+    xcutoff: np.ndarray  # (B,) tail cutoff in the shifted (x - rowmax) domain
+    pareto_k: np.ndarray  # (B,)
+
+    def densify(self, raw_log_weights):
+        """Materialize the full (B, S) smoothed log-weight matrix."""
+        raw = np.asarray(raw_log_weights)
+        lw = raw - np.asarray(self.log_norm)[:, None]
+        rows = np.arange(raw.shape[0])[:, None]
+        lw[rows, np.asarray(self.tail_idx)] = np.asarray(self.tail_lw)
+        return lw
+
+    def weighted_mean(self, h, raw_log_weights):
+        """``E[h]`` per row under the smoothed weights, without densifying."""
+        from .ops.psis import compact_weighted_mean
+
+        return np.asarray(
+            compact_weighted_mean(
+                h,
+                raw_log_weights,
+                self.log_norm,
+                self.tail_idx,
+                self.tail_lw,
+                self.xcutoff,
+            )
+        )
+
+
+def psislw_compact(log_weights, reff: float = 1.0) -> CompactWeights:
+    """PSIS without materializing the smoothed matrix.
+
+    Same smoothing semantics as :func:`psislw` (identical tail membership,
+    GPD fit, tie handling, NaN poisoning and normalization), but the result
+    is returned in the compact form described by :class:`CompactWeights`:
+    ``B x (2M + 2)`` numbers instead of ``B x S`` — the smoothed row differs
+    from the raw row only at the <= M tail positions, so everything else is
+    one scalar shift per row.
+
+    Parameters
+    ----------
+    log_weights : DataArray or (..., S) array-like
+        Raw log importance weights (same contract as :func:`psislw`).
+    reff : float, default 1
+        Relative MCMC efficiency; sizes the smoothed tail.
+
+    Notes
+    -----
+    Observation dims are flattened into the leading axis of every output
+    (reshape with the caller's obs shape to restore).  Designed for
+    streaming/expectation consumers: ``e_loo``-style weighted means cost one
+    pass over the raw matrix plus an M-column gather, and the raw matrix can
+    be regenerated chunk-by-chunk instead of held alongside a smoothed copy.
+    """
+    from .ops import tail_length
+    from .ops.psis import psislw_compact_batch
+
+    matrix, n_samples, _ = as_sample_matrix(log_weights)
+    if n_samples < 2:
+        raise ValueError(
+            "importance sampling requires at least 2 draws per observation,"
+            f" got {n_samples}"
+        )
+    m_tail = tail_length(n_samples, reff)
+    log_norm, tail_idx, tail_lw, xcutoff, khat = psislw_compact_batch(
+        matrix, m_tail
+    )
+    return CompactWeights(
+        np.asarray(log_norm),
+        np.asarray(tail_idx),
+        np.asarray(tail_lw),
+        np.asarray(xcutoff),
+        np.asarray(khat),
+    )

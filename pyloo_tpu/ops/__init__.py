@@ -9,6 +9,7 @@ the reference's per-observation ``np.ndindex`` Python loop,
 from .lse import logsumexp
 from .psis import (
     compact_weighted_mean,
+    compact_weighted_moments,
     gpdfit,
     gpinv,
     psislw_batch,
@@ -24,6 +25,7 @@ __all__ = [
     "psislw_batch",
     "psislw_compact_batch",
     "compact_weighted_mean",
+    "compact_weighted_moments",
     "sislw_batch",
     "tislw_batch",
     "gpdfit",

@@ -856,6 +856,45 @@ def compact_weighted_mean(h, log_weights, log_norm, tail_idx, tail_lw, xcutoff):
     return jnp.where(jnp.isnan(log_norm), jnp.nan, out)
 
 
+@jax.jit
+def compact_weighted_moments(h, log_weights, log_norm, tail_idx, tail_lw, xcutoff):
+    """(mean, unbiased variance) of ``h`` under compact PSIS weights.
+
+    Same masked-by-value evaluation as :func:`compact_weighted_mean` (see its
+    docstring for why include-then-subtract is numerically forbidden), fused
+    so the three row sums the variance needs — ``E[h]``, ``E[h^2]`` and
+    ``sum(w^2)`` — share one pass over the raw matrix and one tail gather.
+
+    Variance semantics match :func:`..expectations.weighted_variance_batch`
+    (reference ``pyloo/e_loo.py:518-531``): ``(E[h^2]-E[h]^2)/(1-sum w^2)``
+    clamped at 0, with constant-``h`` rows and single-dominant-weight rows
+    returning exactly 0.
+    """
+    h = jnp.asarray(h)
+    lw = jnp.asarray(log_weights)
+    x = lw - jnp.max(lw, axis=1, keepdims=True)  # bit-identical to the kernel
+    nontail = x <= xcutoff[:, None]
+    w_base = jnp.where(nontail, jnp.exp(lw - log_norm[:, None]), 0.0)
+    x_at = jnp.take_along_axis(x, tail_idx, axis=1)
+    h_at = jnp.take_along_axis(h, tail_idx, axis=1)
+    w_tail = jnp.where(x_at > xcutoff[:, None], jnp.exp(tail_lw), 0.0)
+
+    mean = jnp.sum(h * w_base, axis=1) + jnp.sum(h_at * w_tail, axis=1)
+    mean_sq = jnp.sum(h**2 * w_base, axis=1) + jnp.sum(h_at**2 * w_tail, axis=1)
+    w_sum_sq = jnp.sum(w_base**2, axis=1) + jnp.sum(w_tail**2, axis=1)
+
+    var = (mean_sq - mean**2) / (1.0 - w_sum_sq)
+    var = jnp.maximum(var, 0.0)
+    constant = jnp.all(jnp.isclose(h, h[:, :1]), axis=1)
+    degenerate = jnp.isclose(w_sum_sq, 1.0)
+    var = jnp.where(constant | degenerate, 0.0, var)
+    poisoned = jnp.isnan(log_norm)
+    return (
+        jnp.where(poisoned, jnp.nan, mean),
+        jnp.where(poisoned, jnp.nan, var),
+    )
+
+
 # ---------------------------------------------------------------------------
 # SIS / TIS
 # ---------------------------------------------------------------------------

@@ -118,6 +118,31 @@ class CompactWeights(NamedTuple):
             )
         )
 
+    def weighted_moments(self, h, raw_log_weights):
+        """``(E[h], Var[h])`` per row, scatter-free.
+
+        Variance is the unbiased weighted form ``(E[h^2]-E[h]^2)/(1-sum w^2)``
+        clamped at 0, matching :func:`pyloo_tpu.e_loo`'s variance semantics
+        (reference ``pyloo/e_loo.py:518-531``); constant-``h`` and
+        single-dominant-weight rows return exactly 0.
+        """
+        from .ops.psis import compact_weighted_moments
+
+        mean, var = compact_weighted_moments(
+            h,
+            raw_log_weights,
+            self.log_norm,
+            self.tail_idx,
+            self.tail_lw,
+            self.xcutoff,
+        )
+        return np.asarray(mean), np.asarray(var)
+
+    def weighted_sd(self, h, raw_log_weights):
+        """Weighted standard deviation per row (sqrt of ``weighted_moments``)."""
+        _, var = self.weighted_moments(h, raw_log_weights)
+        return np.sqrt(var)
+
 
 def psislw_compact(log_weights, reff: float = 1.0) -> CompactWeights:
     """PSIS without materializing the smoothed matrix.

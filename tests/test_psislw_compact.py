@@ -94,6 +94,37 @@ class TestCompactConsumers:
         got = compact.weighted_mean(h, raw)
         np.testing.assert_allclose(got, expected, rtol=1e-12, atol=1e-14)
 
+    def test_weighted_moments_match_dense_e_loo(self):
+        from pyloo_tpu.ops.expectations import (
+            weighted_mean_batch,
+            weighted_variance_batch,
+        )
+
+        rng = np.random.default_rng(9)
+        raw = rng.standard_t(df=3, size=(13, 600))
+        h = rng.normal(size=(13, 600))
+        compact = pl.psislw_compact(raw)
+        dense, _ = _dense(raw)
+        mean, var = compact.weighted_moments(h, raw)
+        np.testing.assert_allclose(
+            mean, np.asarray(weighted_mean_batch(h, dense)), rtol=1e-10
+        )
+        np.testing.assert_allclose(
+            var, np.asarray(weighted_variance_batch(h, dense)), rtol=1e-9
+        )
+        sd = compact.weighted_sd(h, raw)
+        np.testing.assert_allclose(sd, np.sqrt(var), rtol=0, atol=0)
+
+    def test_weighted_moments_degenerate_rows(self):
+        # constant h -> variance exactly 0 (reference _wvar_func semantics)
+        rng = np.random.default_rng(10)
+        raw = rng.standard_t(df=3, size=(3, 400))
+        h = np.ones((3, 400)) * 2.5
+        compact = pl.psislw_compact(raw)
+        mean, var = compact.weighted_moments(h, raw)
+        np.testing.assert_allclose(mean, np.full(3, 2.5), rtol=1e-12)
+        np.testing.assert_array_equal(var, np.zeros(3))
+
     def test_memory_footprint_is_compact(self):
         rng = np.random.default_rng(8)
         S = 4000

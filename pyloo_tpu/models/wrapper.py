@@ -104,7 +104,7 @@ def fit(
     *,
     draws: int = 1000,
     tune: int = 1000,
-    chains: int = 4,
+    chains: int | None = None,
     seed: int = 0,
     compute_log_likelihood: bool = True,
     init: np.ndarray | None = None,
@@ -119,6 +119,12 @@ def fit(
     ``algorithm="chees"`` uses ChEES-adapted trajectory lengths
     (:mod:`pyloo_tpu.models.chees`) — the SIMD-friendly alternative to NUTS.
 
+    ``chains`` defaults per algorithm: 4 for HMC/NUTS, 16 for ChEES — the
+    ChEES trajectory-length gradient is a cross-chain expectation and is
+    noisy at few chains (the paper runs up to 128; chains are a batch
+    dimension on TPU, so more cost little).  Pass ``chains=`` explicitly to
+    override.
+
     Returns an :class:`InferenceData` with ``posterior`` (constrained,
     named), ``log_likelihood`` and ``observed_data`` groups — the same shape
     contract as the reference's ``pm.sample(idata_kwargs={"log_likelihood":
@@ -130,6 +136,8 @@ def fit(
         return model.logp(model.unravel(q), data)
 
     q0 = np.zeros(model.flat_dim) if init is None else init
+    if chains is None:
+        chains = 16 if algorithm == "chees" else 4
     if algorithm == "chees":
         from .chees import sample_chees
 

@@ -240,3 +240,13 @@ class TestCheesJitter:
         sig = inspect.signature(sample_chees)
         assert sig.parameters["num_chains"].default == 16
         assert sig.parameters["step_size_jitter"].default == 0.2
+
+    def test_fit_defaults_per_algorithm(self):
+        # fit() without chains= gives ChEES its many-chain default (the
+        # trajectory-length gradient is a cross-chain expectation) while
+        # HMC/NUTS keep the conventional 4
+        m = conjugate_model(np.random.default_rng(1).normal(0, 1, 20))
+        id_chees = fit(m, draws=20, tune=40, seed=3, algorithm="chees")
+        assert id_chees.posterior.mu.values.shape[0] == 16
+        id_hmc = fit(m, draws=20, tune=40, seed=3, algorithm="hmc")
+        assert id_hmc.posterior.mu.values.shape[0] == 4

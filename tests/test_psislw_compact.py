@@ -69,6 +69,25 @@ class TestCompactParity:
         with pytest.raises(ValueError, match="at least 2 draws"):
             pl.psislw_compact(np.zeros((3, 1)))
 
+    def test_dataarray_chain_draw_ingestion(self):
+        # same ingestion contract as psislw: chain/draw dims stack into
+        # __sample__, multidim obs dims flatten into the leading axis
+        from pyloo_tpu.containers import DataArray
+
+        rng = np.random.default_rng(12)
+        vals = rng.standard_t(df=3, size=(4, 250, 3, 5))  # (chain,draw,g,i)
+        da = DataArray(vals, ("chain", "draw", "g", "i"))
+        lw_dense, k_dense = pl.psislw(da)
+        compact = pl.psislw_compact(da)
+        raw_flat = np.moveaxis(vals, (2, 3), (0, 1)).reshape(15, 1000)
+        dense_flat = np.asarray(lw_dense.values).reshape(15, 1000)
+        np.testing.assert_allclose(
+            compact.densify(raw_flat), dense_flat, rtol=0, atol=1e-12
+        )
+        np.testing.assert_allclose(
+            compact.pareto_k, np.asarray(k_dense.values).ravel(), atol=1e-12
+        )
+
 
 class TestCompactConsumers:
     def test_weighted_mean_matches_dense(self):

@@ -68,6 +68,7 @@ from .loo_score import LooScoreResult, loo_score
 from .loo_subsample import loo_subsample, update_subsample
 from .streaming import (
     clear_streaming_cache,
+    e_loo_streaming,
     loo_streaming,
     loo_subsample_streaming,
 )
@@ -90,6 +91,7 @@ __all__ = [
     "loo",
     "loo_compare",
     "clear_streaming_cache",
+    "e_loo_streaming",
     "loo_streaming",
     "loo_subsample",
     "loo_subsample_streaming",

@@ -42,7 +42,12 @@ from .ops.loo_kernels import (
 )
 from .rcparams import rcParams
 
-__all__ = ["loo_streaming", "loo_subsample_streaming", "clear_streaming_cache"]
+__all__ = [
+    "loo_streaming",
+    "loo_subsample_streaming",
+    "e_loo_streaming",
+    "clear_streaming_cache",
+]
 
 
 def _mesh_sharding(mesh):
@@ -717,3 +722,202 @@ def loo_subsample_streaming(
     result.estimates.estimator = est_method.value
     result.estimates.indices = indices
     return result
+
+
+# Module-level jitted per-chunk expectation step (same caching rationale as
+# _accumulate_chunk: one compiled program per (shape, kind, tail) geometry).
+@partial(jax.jit, static_argnames=("kind", "tail_max", "probs"))
+def _eloo_chunk(ll, x, *, kind, tail_max, probs):
+    from .ops.expectations import (
+        khat_batch,
+        weighted_mean_batch,
+        weighted_quantile_batch,
+        weighted_variance_batch,
+    )
+    from .ops.psis import psislw_batch
+
+    log_ratios = -ll
+    lw, _ = psislw_batch(log_ratios, tail_max)
+    if kind == "mean":
+        value = weighted_mean_batch(x, lw)
+    elif kind in ("variance", "sd"):
+        value = weighted_variance_batch(x, lw)
+        if kind == "sd":
+            value = jnp.sqrt(value)
+    else:
+        value = weighted_quantile_batch(x, lw, jnp.asarray(probs))
+    if kind == "quantile":
+        k = khat_batch(log_ratios, log_ratios, use_h=False)
+    else:
+        h = x**2 if kind in ("variance", "sd") else x
+        k = khat_batch(h, log_ratios, use_h=True)
+    return value, k
+
+
+def _min_ss_vectorized(k):
+    """Vectorized reference ``_pareto_min_ss`` (e_loo.py:393-398)."""
+    out = np.full(np.shape(k), np.inf)
+    m = ~np.isnan(k) & (k < 1)
+    out[m] = 10.0 ** (1.0 / (1.0 - np.maximum(0.0, k[m])))
+    return out
+
+
+def _convergence_rate_vectorized(k, n_samples):
+    """Vectorized reference ``_pareto_convergence_rate`` (e_loo.py:406-426).
+
+    Piecewise: NaN -> 0, k < 0 -> 1, k > 1 -> 0, k == 1/2 -> 1 - 1/log(n),
+    0 < k < 1 -> the finite-n rate clamped at 0, else (k in {0, 1}) -> 1.
+    """
+    k = np.asarray(k, dtype=np.float64)
+    n = float(n_samples)
+    out = np.ones(k.shape)
+    out[np.isnan(k)] = 0.0
+    out[k > 1] = 0.0
+    half = k == 0.5
+    out[half] = 1.0 - 1.0 / np.log(n)
+    mid = (k > 0) & (k < 1) & ~half
+    km = k[mid]
+    num = (
+        2.0 * (km - 1.0) * n ** (2.0 * km + 1.0)
+        + (1.0 - 2.0 * km) * n ** (2.0 * km)
+        + n**2
+    )
+    den = (n - 1.0) * (n - n ** (2.0 * km))
+    out[mid] = np.maximum(0.0, num / den)
+    return out
+
+
+def e_loo_streaming(
+    log_lik_fn,
+    x_fn,
+    n_obs: int,
+    n_draws: int,
+    *,
+    type: str = "mean",
+    probs=None,
+    reff: float = 1.0,
+    chunk_size: int | None = None,
+    dtype=None,
+    mesh=None,
+    on_chunk=None,
+):
+    """Weighted LOO expectations (:func:`pyloo_tpu.e_loo`) for datasets too
+    large to materialize ``(n_obs, n_draws)`` matrices.
+
+    The reference's ``e_loo`` (``pyloo/e_loo.py:56-263``) needs both the
+    h-sample matrix and the smoothed-weight matrix in memory.  Here both are
+    pure functions of the observation index, evaluated chunk by chunk: each
+    chunk's rows get PSIS-smoothed weights, the requested expectation, and
+    the function-specific Pareto-k diagnostic in one jitted step, and only
+    the ``(n_obs,)`` results ever exist.
+
+    Parameters
+    ----------
+    log_lik_fn : callable
+        Traceable ``(chunk,) int32 -> (chunk, n_draws)`` log-likelihood
+        (same contract and identity-keyed memoization as
+        :func:`loo_streaming`).
+    x_fn : callable
+        Traceable ``(chunk,) int32 -> (chunk, n_draws)`` h(theta) samples
+        whose expectation is taken (e.g. posterior-predictive draws).
+    n_obs, n_draws : int
+        Dataset extent.
+    type : {"mean", "variance", "sd", "quantile"}
+    probs : float or sequence, required for ``type="quantile"``.
+    reff : float
+        Relative MCMC efficiency (sizes the smoothed tail).
+    chunk_size, dtype, mesh, on_chunk
+        As in :func:`loo_streaming`.
+
+    Returns
+    -------
+    ExpectationResult
+        ``value`` is an ``(n_obs,)`` DataArray (``(n_obs, n_probs)`` for
+        quantiles); ``pareto_k`` / ``min_ss`` / ``khat_threshold`` /
+        ``convergence_rate`` match :func:`pyloo_tpu.e_loo` semantics.
+    """
+    from .e_loo import ExpectationResult, _pareto_khat_threshold
+
+    if type not in ("mean", "variance", "sd", "quantile"):
+        raise ValueError("type must be 'mean', 'variance', 'sd' or 'quantile'")
+    probs_tuple = None
+    if type == "quantile":
+        if probs is None:
+            raise ValueError("probs must be provided for quantile calculation")
+        probs_arr = np.atleast_1d(np.asarray(probs, dtype=np.float64))
+        if not np.all((probs_arr > 0) & (probs_arr < 1)):
+            raise ValueError("probs must be between 0 and 1")
+        probs_tuple = tuple(float(p) for p in probs_arr)
+    elif probs is not None:
+        raise ValueError("probs is only valid for type='quantile'")
+    if n_draws < 2:
+        raise ValueError("PSIS requires at least 2 draws per observation.")
+    if n_obs < 1:
+        raise ValueError("n_obs must be positive.")
+
+    if dtype is None:
+        dtype = jnp.dtype(rcParams["device.precision"])
+    else:
+        dtype = jnp.dtype(dtype)
+
+    if chunk_size is None:
+        # two resident (chunk, S) tensors per step (log-lik and h)
+        chunk_size = max((1 << 30) // (n_draws * dtype.itemsize), 8)
+    chunk_size = int(min(chunk_size, n_obs))
+    multiple = 8 if mesh is None else int(np.lcm(8, mesh.devices.size))
+    chunk_size = max(multiple, chunk_size - chunk_size % multiple)
+    n_chunks = -(-n_obs // chunk_size)
+
+    tail_max = tail_length(n_draws, reff)
+    sharding = _mesh_sharding(mesh)
+    gen_ll = _gen_program(log_lik_fn, chunk_size, n_obs, str(dtype), sharding)
+    gen_x = _gen_program(x_fn, chunk_size, n_obs, str(dtype), sharding)
+
+    n_cols = len(probs_tuple) if type == "quantile" else None
+    if n_cols is None:
+        buf_v = jnp.zeros((n_chunks * chunk_size,), dtype)
+    else:
+        buf_v = jnp.zeros((n_chunks * chunk_size, n_cols), dtype)
+    buf_k = jnp.zeros((n_chunks * chunk_size,), dtype)
+
+    for c in range(n_chunks):
+        ci = jnp.asarray(c, jnp.int32)
+        value, k = _eloo_chunk(
+            gen_ll(ci), gen_x(ci),
+            kind=type, tail_max=tail_max, probs=probs_tuple,
+        )
+        start = jnp.asarray(c * chunk_size, jnp.int32)
+        if n_cols is None:
+            buf_v = _write_chunk(buf_v, value.astype(dtype), start)
+        else:
+            buf_v = jax.lax.dynamic_update_slice(
+                buf_v, value.astype(dtype), (start, jnp.int32(0))
+            )
+        buf_k = _write_chunk(buf_k, k.astype(dtype), start)
+        if on_chunk is not None:
+            on_chunk(c + 1, n_chunks)
+
+    value_host = np.asarray(jax.device_get(buf_v))[:n_obs]
+    k_host = np.asarray(jax.device_get(buf_k), np.float64)[:n_obs]
+
+    k_da = DataArray(k_host, ("obs",), name="pareto_k")
+    if n_cols is None:
+        value_da = DataArray(value_host, ("obs",), name=type)
+    else:
+        value_da = DataArray(
+            value_host,
+            ("obs", "quantile"),
+            {"quantile": np.asarray(probs_tuple)},
+            name=type,
+        )
+    return ExpectationResult(
+        value=value_da,
+        pareto_k=k_da,
+        min_ss=DataArray(_min_ss_vectorized(k_host), ("obs",)),
+        khat_threshold=DataArray(
+            np.full(n_obs, _pareto_khat_threshold(n_draws)), ("obs",)
+        ),
+        convergence_rate=DataArray(
+            _convergence_rate_vectorized(k_host, n_draws), ("obs",)
+        ),
+    )

@@ -367,3 +367,101 @@ class TestCheckpointResume:
             on_chunk=lambda c, total: seen.append((c, total)),
         )
         assert seen == [(i + 1, 6) for i in range(6)]
+
+
+class TestELooStreaming:
+    """e_loo_streaming == e_loo on materialized data (chunked, ragged)."""
+
+    B, S = 57, 400  # 57 forces a ragged final chunk at chunk_size 16
+
+    def _data(self):
+        rng = np.random.default_rng(23)
+        ll = rng.normal(-1.0, 0.7, size=(self.B, self.S))
+        x = rng.normal(2.0, 1.5, size=(self.B, self.S))
+        llj, xj = jnp.asarray(ll), jnp.asarray(x)
+        return ll, x, (lambda i: llj[i]), (lambda i: xj[i])
+
+    def _expected(self, ll, x, kind, probs=None):
+        from pyloo_tpu.containers import DataArray
+
+        lw, _ = pl.psislw(-ll)
+        return pl.e_loo(
+            DataArray(x, ("obs", "__sample__")),
+            log_weights=DataArray(np.asarray(lw), ("obs", "__sample__")),
+            log_ratios=DataArray(-ll, ("obs", "__sample__")),
+            type=kind,
+            probs=probs,
+        )
+
+    @pytest.mark.parametrize("kind", ["mean", "variance", "sd"])
+    def test_matches_e_loo(self, kind):
+        ll, x, ll_fn, x_fn = self._data()
+        got = pl.e_loo_streaming(
+            ll_fn, x_fn, self.B, self.S, type=kind, chunk_size=16,
+            dtype=jnp.float64,
+        )
+        exp = self._expected(ll, x, kind)
+        assert_allclose(got.value.values, np.asarray(exp.value.values),
+                        rtol=1e-9)
+        assert_allclose(got.pareto_k.values, np.asarray(exp.pareto_k.values),
+                        rtol=1e-9)
+        assert_allclose(got.min_ss.values, np.asarray(exp.min_ss.values),
+                        rtol=1e-9)
+        assert_allclose(got.khat_threshold.values,
+                        np.asarray(exp.khat_threshold.values), rtol=1e-12)
+        assert_allclose(got.convergence_rate.values,
+                        np.asarray(exp.convergence_rate.values), rtol=1e-9)
+
+    def test_quantile_matches_e_loo(self):
+        ll, x, ll_fn, x_fn = self._data()
+        probs = [0.1, 0.5, 0.9]
+        got = pl.e_loo_streaming(
+            ll_fn, x_fn, self.B, self.S, type="quantile", probs=probs,
+            chunk_size=16, dtype=jnp.float64,
+        )
+        exp = self._expected(ll, x, "quantile", probs=probs)
+        assert got.value.values.shape == (self.B, 3)
+        assert_allclose(got.value.values, np.asarray(exp.value.values),
+                        rtol=1e-9)
+        assert_allclose(got.pareto_k.values, np.asarray(exp.pareto_k.values),
+                        rtol=1e-9)
+
+    def test_single_chunk_equals_chunked(self):
+        ll, x, ll_fn, x_fn = self._data()
+        a = pl.e_loo_streaming(ll_fn, x_fn, self.B, self.S, chunk_size=16,
+                               dtype=jnp.float64)
+        b = pl.e_loo_streaming(ll_fn, x_fn, self.B, self.S,
+                               chunk_size=self.B, dtype=jnp.float64)
+        assert_allclose(a.value.values, b.value.values, rtol=1e-12)
+        assert_allclose(a.pareto_k.values, b.pareto_k.values, rtol=1e-12)
+
+    def test_validation(self):
+        ll, x, ll_fn, x_fn = self._data()
+        with pytest.raises(ValueError, match="type must be"):
+            pl.e_loo_streaming(ll_fn, x_fn, self.B, self.S, type="median")
+        with pytest.raises(ValueError, match="probs must be provided"):
+            pl.e_loo_streaming(ll_fn, x_fn, self.B, self.S, type="quantile")
+        with pytest.raises(ValueError, match="between 0 and 1"):
+            pl.e_loo_streaming(ll_fn, x_fn, self.B, self.S, type="quantile",
+                               probs=[0.5, 1.5])
+        with pytest.raises(ValueError, match="only valid for"):
+            pl.e_loo_streaming(ll_fn, x_fn, self.B, self.S, type="mean",
+                               probs=[0.5])
+        with pytest.raises(ValueError, match="at least 2 draws"):
+            pl.e_loo_streaming(ll_fn, x_fn, self.B, 1)
+
+    def test_progress_hook_and_mesh(self):
+        from pyloo_tpu.parallel import obs_mesh
+
+        ll, x, ll_fn, x_fn = self._data()
+        seen = []
+        with obs_mesh() as mesh:
+            got = pl.e_loo_streaming(
+                ll_fn, x_fn, self.B, self.S, chunk_size=16, mesh=mesh,
+                dtype=jnp.float64,
+                on_chunk=lambda c, t: seen.append((c, t)),
+            )
+        exp = self._expected(ll, x, "mean")
+        assert_allclose(got.value.values, np.asarray(exp.value.values),
+                        rtol=1e-9)
+        assert seen and seen[-1][0] == seen[-1][1]

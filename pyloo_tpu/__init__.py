@@ -71,6 +71,7 @@ from .streaming import (
     e_loo_streaming,
     loo_streaming,
     loo_subsample_streaming,
+    waic_streaming,
 )
 from .psis import CompactWeights, psislw, psislw_compact
 from .rcparams import rcParams
@@ -95,6 +96,7 @@ __all__ = [
     "loo_streaming",
     "loo_subsample",
     "loo_subsample_streaming",
+    "waic_streaming",
     "update_subsample",
     "loo_group",
     "loo_i",

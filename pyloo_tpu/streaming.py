@@ -46,6 +46,7 @@ __all__ = [
     "loo_streaming",
     "loo_subsample_streaming",
     "e_loo_streaming",
+    "waic_streaming",
     "clear_streaming_cache",
 ]
 
@@ -722,6 +723,141 @@ def loo_subsample_streaming(
     result.estimates.estimator = est_method.value
     result.estimates.indices = indices
     return result
+
+
+@jax.jit
+def _waic_chunk(ll, c, n_obs, carry):
+    """Per-chunk WAIC accumulation: fused lppd/variance kernel + running
+    sums of the (unscaled) pointwise WAIC, its square, p_waic, and the
+    var > 0.4 failure count (reference ``pyloo/waic.py:137-154``)."""
+    from .ops.loo_kernels import waic_scores
+
+    chunk = ll.shape[0]
+    idx = c * chunk + jnp.arange(chunk, dtype=jnp.int32)
+    valid = idx < n_obs
+    lppd_i, vars_lpd = waic_scores(ll)
+    waic_u = lppd_i - vars_lpd  # scale applied on host at the end
+
+    acc = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    w = jnp.where(valid, waic_u, 0.0).astype(acc)
+    carry = dict(
+        carry,
+        sum_w=carry["sum_w"] + jnp.sum(w),
+        sum_w2=carry["sum_w2"] + jnp.sum(w * w),
+        sum_p=carry["sum_p"]
+        + jnp.sum(jnp.where(valid, vars_lpd, 0.0).astype(acc)),
+        n_high_var=carry["n_high_var"]
+        + jnp.sum((vars_lpd > 0.4) & valid, dtype=jnp.int32),
+    )
+    return carry, waic_u, vars_lpd
+
+
+def waic_streaming(
+    log_lik_fn,
+    n_obs: int,
+    n_draws: int,
+    *,
+    chunk_size: int | None = None,
+    pointwise: bool = False,
+    scale: str | None = None,
+    dtype=None,
+    mesh=None,
+    on_chunk=None,
+):
+    """WAIC (:func:`pyloo_tpu.waic`) over ``n_obs`` observations whose
+    log-likelihood is computed on device by ``log_lik_fn`` — the
+    ``(n_obs, n_draws)`` matrix is never materialized.
+
+    Same generator contract and identity-keyed memoization as
+    :func:`loo_streaming`; same result rows as :func:`pyloo_tpu.waic`
+    (reference ``pyloo/waic.py:16-207``).
+    """
+    scale, scale_value = resolve_scale(scale)
+    if n_draws < 2:
+        raise ValueError("WAIC requires at least 2 draws per observation.")
+    if n_obs < 1:
+        raise ValueError("n_obs must be positive.")
+    if dtype is None:
+        dtype = jnp.dtype(rcParams["device.precision"])
+    else:
+        dtype = jnp.dtype(dtype)
+
+    if chunk_size is None:
+        chunk_size = max((2 << 30) // (n_draws * dtype.itemsize), 8)
+    chunk_size = int(min(chunk_size, n_obs))
+    multiple = 8 if mesh is None else int(np.lcm(8, mesh.devices.size))
+    chunk_size = max(multiple, chunk_size - chunk_size % multiple)
+    n_chunks = -(-n_obs // chunk_size)
+
+    gen = _gen_program(
+        log_lik_fn, chunk_size, n_obs, str(dtype), _mesh_sharding(mesh)
+    )
+
+    acc = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    zero = jnp.zeros((), acc)
+    carry = {
+        "sum_w": zero,
+        "sum_w2": zero,
+        "sum_p": zero,
+        "n_high_var": jnp.zeros((), jnp.int32),
+    }
+    n_obs_dev = jnp.asarray(n_obs, jnp.int32)
+    buf_w = None
+    if pointwise:
+        buf_w = jnp.zeros((n_chunks * chunk_size,), dtype)
+
+    for c in range(n_chunks):
+        ci = jnp.asarray(c, jnp.int32)
+        carry, waic_u, _vars = _waic_chunk(gen(ci), ci, n_obs_dev, carry)
+        if pointwise:
+            buf_w = _write_chunk(
+                buf_w, waic_u.astype(dtype), jnp.asarray(c * chunk_size, jnp.int32)
+            )
+        if on_chunk is not None:
+            on_chunk(c + 1, n_chunks)
+
+    out = jax.device_get(carry)
+    sum_w = float(out["sum_w"])
+    sum_w2 = float(out["sum_w2"])
+    p_waic = float(out["sum_p"])
+    var_w = max(sum_w2 / n_obs - (sum_w / n_obs) ** 2, 0.0)
+
+    warn_mg = int(out["n_high_var"]) > 0
+    if warn_mg:
+        warnings.warn(
+            "For one or more samples the posterior variance of the log"
+            " predictive densities exceeds 0.4. This could be indication of"
+            " WAIC starting to fail.",
+            UserWarning,
+            stacklevel=2,
+        )
+
+    waic_sum = scale_value * sum_w
+    waic_se = abs(scale_value) * float((n_obs * var_w) ** 0.5)
+
+    rows = [
+        ("elpd_waic", waic_sum),
+        ("se", waic_se),
+        ("p_waic", p_waic),
+        ("n_samples", n_draws),
+        ("n_data_points", n_obs),
+        ("warning", warn_mg),
+    ]
+    if pointwise:
+        waic_i = scale_value * np.asarray(
+            jax.device_get(buf_w), np.float64
+        )[:n_obs]
+        if np.allclose(waic_i, waic_i.flat[0]):
+            warnings.warn(
+                "The point-wise WAIC is the same with the sum WAIC, please"
+                " double check the Observed RV in your model to make sure it"
+                " returns element-wise logp.",
+                UserWarning,
+                stacklevel=2,
+            )
+        rows.append(("waic_i", DataArray(waic_i, ("obs",), name="waic_i")))
+    rows.append(("scale", scale))
+    return ELPDData(data=[v for _, v in rows], index=[k for k, _ in rows])
 
 
 # Module-level jitted per-chunk expectation step (same caching rationale as

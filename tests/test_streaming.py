@@ -465,3 +465,53 @@ class TestELooStreaming:
         assert_allclose(got.value.values, np.asarray(exp.value.values),
                         rtol=1e-9)
         assert seen and seen[-1][0] == seen[-1][1]
+
+
+class TestWaicStreaming:
+    """waic_streaming == waic() on materialized data."""
+
+    def _waic_reference(self, ll, **kw):
+        idata = pl.from_dict(log_likelihood={"obs": ll.T[None]})
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            return pl.waic(idata, **kw)
+
+    @pytest.mark.parametrize("chunk", [16, 103])
+    def test_matches_waic(self, ll_matrix, chunk):
+        ll_dev = jnp.asarray(ll_matrix)
+        res = pl.waic_streaming(
+            _fn(ll_dev), N_OBS, N_DRAWS, chunk_size=chunk, dtype=jnp.float64
+        )
+        ref = self._waic_reference(ll_matrix)
+        for key in ("elpd_waic", "se", "p_waic"):
+            assert_allclose(res[key], ref[key], rtol=1e-9, err_msg=key)
+        assert res["n_samples"] == N_DRAWS
+        assert res["n_data_points"] == N_OBS
+        assert res["scale"] == ref["scale"]
+
+    def test_pointwise_and_scale(self, ll_matrix):
+        ll_dev = jnp.asarray(ll_matrix)
+        res = pl.waic_streaming(
+            _fn(ll_dev), N_OBS, N_DRAWS, chunk_size=32, pointwise=True,
+            scale="deviance", dtype=jnp.float64,
+        )
+        ref = self._waic_reference(ll_matrix, pointwise=True, scale="deviance")
+        assert_allclose(res["waic_i"].values,
+                        np.asarray(ref["waic_i"].values).ravel(), rtol=1e-9)
+        assert_allclose(res["elpd_waic"], ref["elpd_waic"], rtol=1e-9)
+
+    def test_high_variance_warns(self, rng_module):
+        n, s = 24, 200
+        ll = rng_module.normal(0.0, 2.0, size=(n, s))  # var >> 0.4
+        ll_dev = jnp.asarray(ll)
+        with pytest.warns(UserWarning, match="exceeds 0.4"):
+            res = pl.waic_streaming(
+                _fn(ll_dev), n, s, chunk_size=8, dtype=jnp.float64
+            )
+        assert res["warning"]
+
+    def test_validation(self):
+        with pytest.raises(ValueError, match="at least 2 draws"):
+            pl.waic_streaming(lambda i: None, 10, 1)
+        with pytest.raises(ValueError, match="n_obs must be positive"):
+            pl.waic_streaming(lambda i: None, 0, 10)

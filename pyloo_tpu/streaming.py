@@ -47,6 +47,7 @@ __all__ = [
     "loo_subsample_streaming",
     "e_loo_streaming",
     "waic_streaming",
+    "loo_predictive_metric_streaming",
     "clear_streaming_cache",
 ]
 
@@ -1057,3 +1058,68 @@ def e_loo_streaming(
             _convergence_rate_vectorized(k_host, n_draws), ("obs",)
         ),
     )
+
+
+def loo_predictive_metric_streaming(
+    log_lik_fn,
+    x_fn,
+    y,
+    n_obs: int,
+    n_draws: int,
+    *,
+    metric: str = "mae",
+    r_eff: float = 1.0,
+    chunk_size: int | None = None,
+    dtype=None,
+    mesh=None,
+    on_chunk=None,
+):
+    """LOO predictive point metric (:func:`pyloo_tpu.loo_predictive_metric`,
+    reference ``pyloo/loo_predictive_metric.py:22-231``) for datasets too
+    large to materialize: the PSIS-weighted LOO predictive mean streams
+    through :func:`e_loo_streaming`, then the metric and its SE are the same
+    closed-form host arithmetic as the in-memory path.
+
+    ``x_fn`` generates the posterior-predictive samples
+    (``(chunk,) int32 -> (chunk, n_draws)``); ``y`` is the length-``n_obs``
+    observed vector (host-resident — 8 bytes/obs).
+    """
+    from .loo_predictive_metric import (
+        _accuracy,
+        _balanced_accuracy,
+        _mae,
+        _mse,
+        _rmse,
+    )
+
+    y = np.asarray(y).ravel()
+    if len(y) != n_obs:
+        raise ValueError(
+            f"Length of y ({len(y)}) must match n_obs ({n_obs})"
+        )
+    scorers = {
+        "mae": _mae,
+        "mse": _mse,
+        "rmse": _rmse,
+        "acc": _accuracy,
+        "balanced_acc": _balanced_accuracy,
+    }
+    if metric not in scorers:
+        raise ValueError(
+            f"Invalid metric: {metric}. Must be one of: 'mae', 'mse', 'rmse',"
+            " 'acc', 'balanced_acc'"
+        )
+    pred = e_loo_streaming(
+        log_lik_fn,
+        x_fn,
+        n_obs,
+        n_draws,
+        type="mean",
+        reff=r_eff,
+        chunk_size=chunk_size,
+        dtype=dtype,
+        mesh=mesh,
+        on_chunk=on_chunk,
+    )
+    pred_loo = np.asarray(pred.value.values, np.float64)
+    return scorers[metric](y, pred_loo)

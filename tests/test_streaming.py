@@ -515,3 +515,62 @@ class TestWaicStreaming:
             pl.waic_streaming(lambda i: None, 10, 1)
         with pytest.raises(ValueError, match="n_obs must be positive"):
             pl.waic_streaming(lambda i: None, 0, 10)
+
+
+class TestPredictiveMetricStreaming:
+    """loo_predictive_metric_streaming == loo_predictive_metric."""
+
+    def _setup(self, binary=False):
+        rng = np.random.default_rng(31)
+        B, S = 61, 300
+        ll = rng.normal(-1.0, 0.6, size=(B, S))
+        if binary:
+            x = rng.uniform(0, 1, size=(B, S))
+            y = (rng.uniform(size=B) < 0.5).astype(float)
+        else:
+            x = rng.normal(1.0, 2.0, size=(B, S))
+            y = rng.normal(1.0, 2.0, size=B)
+        return B, S, ll, x, y
+
+    @pytest.mark.parametrize("metric", ["mae", "mse", "rmse"])
+    def test_matches_in_memory(self, metric):
+        B, S, ll, x, y = self._setup()
+        idata = pl.from_dict(
+            log_likelihood={"obs": ll.T[None]},
+            posterior_predictive={"obs": x.T[None]},
+        )
+        ref = pl.loo_predictive_metric(idata, y, metric=metric)
+        llj, xj = jnp.asarray(ll), jnp.asarray(x)
+        got = pl.loo_predictive_metric_streaming(
+            lambda i: llj[i], lambda i: xj[i], y, B, S, metric=metric,
+            chunk_size=16, dtype=jnp.float64,
+        )
+        assert_allclose(got["estimate"], ref["estimate"], rtol=1e-9)
+        assert_allclose(got["se"], ref["se"], rtol=1e-9)
+
+    @pytest.mark.parametrize("metric", ["acc", "balanced_acc"])
+    def test_binary_metrics(self, metric):
+        B, S, ll, x, y = self._setup(binary=True)
+        idata = pl.from_dict(
+            log_likelihood={"obs": ll.T[None]},
+            posterior_predictive={"obs": x.T[None]},
+        )
+        ref = pl.loo_predictive_metric(idata, y, metric=metric)
+        llj, xj = jnp.asarray(ll), jnp.asarray(x)
+        got = pl.loo_predictive_metric_streaming(
+            lambda i: llj[i], lambda i: xj[i], y, B, S, metric=metric,
+            chunk_size=16, dtype=jnp.float64,
+        )
+        assert_allclose(got["estimate"], ref["estimate"], rtol=1e-9)
+        assert_allclose(got["se"], ref["se"], rtol=1e-9)
+
+    def test_validation(self):
+        with pytest.raises(ValueError, match="must match n_obs"):
+            pl.loo_predictive_metric_streaming(
+                lambda i: None, lambda i: None, np.zeros(5), 10, 100
+            )
+        with pytest.raises(ValueError, match="Invalid metric"):
+            pl.loo_predictive_metric_streaming(
+                lambda i: None, lambda i: None, np.zeros(10), 10, 100,
+                metric="mape",
+            )

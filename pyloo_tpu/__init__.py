@@ -69,6 +69,7 @@ from .loo_subsample import loo_subsample, update_subsample
 from .streaming import (
     clear_streaming_cache,
     e_loo_streaming,
+    loo_group_streaming,
     loo_predictive_metric_streaming,
     loo_streaming,
     loo_subsample_streaming,
@@ -99,6 +100,7 @@ __all__ = [
     "loo_subsample_streaming",
     "waic_streaming",
     "loo_predictive_metric_streaming",
+    "loo_group_streaming",
     "update_subsample",
     "loo_group",
     "loo_i",

@@ -87,6 +87,19 @@ def loo_group(
         )
     )  # (n_groups, S)
 
+    return _logo_result(
+        group_ll, unique_groups, n_samples, reff, scale, scale_value,
+        method, pointwise,
+    )
+
+
+def _logo_result(
+    group_ll, unique_groups, n_samples, reff, scale, scale_value,
+    method, pointwise,
+):
+    """IS weighting + result assembly over the aggregated ``(n_groups, S)``
+    matrix — shared by :func:`loo_group` and the streaming path."""
+    n_groups = group_ll.shape[0]
     if method == ISMethod.PSIS:
         m_tail = tail_length(n_samples, reff)
         elpd_g, diagnostics, lppd_g = apply_rowwise(

@@ -48,6 +48,7 @@ __all__ = [
     "e_loo_streaming",
     "waic_streaming",
     "loo_predictive_metric_streaming",
+    "loo_group_streaming",
     "clear_streaming_cache",
 ]
 
@@ -1123,3 +1124,111 @@ def loo_predictive_metric_streaming(
     )
     pred_loo = np.asarray(pred.value.values, np.float64)
     return scorers[metric](y, pred_loo)
+
+
+@jax.jit
+def _logo_chunk(ll, seg, carry):
+    """Scatter-add one chunk's rows into the per-group running sums.
+
+    Padded rows of ragged final chunks carry segment id ``n_groups`` (the
+    overflow row of the carry) so they never contaminate a real group.
+    """
+    return carry + jax.ops.segment_sum(
+        ll.astype(carry.dtype), seg, num_segments=carry.shape[0]
+    )
+
+
+def loo_group_streaming(
+    log_lik_fn,
+    group_ids,
+    n_obs: int,
+    n_draws: int,
+    *,
+    reff: float = 1.0,
+    pointwise: bool = False,
+    scale: str | None = None,
+    method="psis",
+    chunk_size: int | None = None,
+    dtype=None,
+    mesh=None,
+    on_chunk=None,
+):
+    """Leave-one-group-out CV (:func:`pyloo_tpu.loo_group`, reference
+    ``pyloo/loo_group.py:19-379``) where the per-observation log-likelihood
+    is computed on device chunk by chunk and scatter-added into the
+    ``(n_groups, n_draws)`` group matrix — the ``(n_obs, n_draws)`` matrix
+    never exists.  The group-level IS step and result assembly are shared
+    with the in-memory path.
+
+    ``group_ids`` is the length-``n_obs`` host vector of group labels;
+    the only device-resident state is the group matrix itself, so LOGO over
+    1e8 observations aggregated into a few thousand groups is a
+    one-chip problem.
+    """
+    from .loo_group import _logo_result
+
+    scale, scale_value = resolve_scale(scale)
+    if n_draws < 2:
+        raise ValueError("LOGO requires at least 2 draws per observation.")
+    if n_obs < 1:
+        raise ValueError("n_obs must be positive.")
+    group_ids = np.asarray(group_ids).ravel()
+    if len(group_ids) != n_obs:
+        raise ValueError(
+            f"Length of group_ids ({len(group_ids)}) must match the number"
+            f" of observations ({n_obs})."
+        )
+    unique_groups, group_index = np.unique(group_ids, return_inverse=True)
+    n_groups = len(unique_groups)
+
+    try:
+        method = (
+            method if isinstance(method, ISMethod) else ISMethod(method.lower())
+        )
+    except ValueError:
+        valid_methods = ", ".join(m.value for m in ISMethod)
+        raise ValueError(
+            f"Invalid method '{method}'. Must be one of: {valid_methods}"
+        )
+    if method != ISMethod.PSIS:
+        warnings.warn(
+            f"Using {method.value.upper()} for LOGO computation. Note that"
+            " PSIS is the recommended method as it is typically more"
+            " efficient and reliable.",
+            UserWarning,
+            stacklevel=2,
+        )
+
+    if dtype is None:
+        dtype = jnp.dtype(rcParams["device.precision"])
+    else:
+        dtype = jnp.dtype(dtype)
+    if chunk_size is None:
+        chunk_size = max((2 << 30) // (n_draws * dtype.itemsize), 8)
+    chunk_size = int(min(chunk_size, n_obs))
+    multiple = 8 if mesh is None else int(np.lcm(8, mesh.devices.size))
+    chunk_size = max(multiple, chunk_size - chunk_size % multiple)
+    n_chunks = -(-n_obs // chunk_size)
+
+    gen = _gen_program(
+        log_lik_fn, chunk_size, n_obs, str(dtype), _mesh_sharding(mesh)
+    )
+
+    # segment ids, padded with the overflow group for the ragged tail
+    seg_host = np.full(n_chunks * chunk_size, n_groups, np.int32)
+    seg_host[:n_obs] = group_index.astype(np.int32)
+
+    acc = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    carry = jnp.zeros((n_groups + 1, n_draws), acc)
+    for c in range(n_chunks):
+        ci = jnp.asarray(c, jnp.int32)
+        seg = jnp.asarray(seg_host[c * chunk_size : (c + 1) * chunk_size])
+        carry = _logo_chunk(gen(ci), seg, carry)
+        if on_chunk is not None:
+            on_chunk(c + 1, n_chunks)
+
+    group_ll = np.asarray(jax.device_get(carry), np.float64)[:n_groups]
+    return _logo_result(
+        group_ll, unique_groups, n_draws, reff, scale, scale_value,
+        method, pointwise,
+    )

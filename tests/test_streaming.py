@@ -574,3 +574,78 @@ class TestPredictiveMetricStreaming:
                 lambda i: None, lambda i: None, np.zeros(10), 10, 100,
                 metric="mape",
             )
+
+
+class TestLogoStreaming:
+    """loo_group_streaming == loo_group() on materialized data."""
+
+    def _setup(self):
+        rng = np.random.default_rng(41)
+        B, S, G = 97, 300, 11  # ragged chunks at 16; uneven group sizes
+        ll = rng.normal(-1.0, 0.5, size=(B, S))
+        gids = rng.integers(0, G, size=B)
+        return B, S, ll, gids
+
+    def _logo_reference(self, ll, gids, **kw):
+        idata = pl.from_dict(log_likelihood={"obs": ll.T[None]})
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            return pl.loo_group(idata, gids, reff=1.0, **kw)
+
+    @pytest.mark.parametrize("chunk", [16, 97])
+    def test_matches_loo_group(self, chunk):
+        B, S, ll, gids = self._setup()
+        llj = jnp.asarray(ll)
+        res = pl.loo_group_streaming(
+            _fn(llj), gids, B, S, chunk_size=chunk, dtype=jnp.float64,
+            pointwise=True,
+        )
+        ref = self._logo_reference(ll, gids, pointwise=True)
+        for key in ("elpd_logo", "se", "p_logo", "p_logo_se", "logoic"):
+            assert_allclose(res[key], ref[key], rtol=1e-9, err_msg=key)
+        assert_allclose(res["logo_i"].values, ref["logo_i"].values, rtol=1e-9)
+        assert_allclose(res["pareto_k"], ref["pareto_k"], rtol=1e-9)
+        assert res["n_groups"] == ref["n_groups"]
+
+    def test_string_group_labels(self):
+        B, S, ll, gids = self._setup()
+        labels = np.array(["g%02d" % g for g in gids])
+        llj = jnp.asarray(ll)
+        res = pl.loo_group_streaming(
+            _fn(llj), labels, B, S, chunk_size=32, dtype=jnp.float64,
+            pointwise=True,
+        )
+        ref = self._logo_reference(ll, labels, pointwise=True)
+        assert_allclose(res["elpd_logo"], ref["elpd_logo"], rtol=1e-9)
+        assert list(res["logo_i"].coords["group"]) == list(
+            ref["logo_i"].coords["group"]
+        )
+
+    def test_mesh_sharded(self):
+        from pyloo_tpu.parallel import obs_mesh
+
+        B, S, ll, gids = self._setup()
+        llj = jnp.asarray(ll)
+        with obs_mesh() as mesh:
+            res = pl.loo_group_streaming(
+                _fn(llj), gids, B, S, chunk_size=16, mesh=mesh,
+                dtype=jnp.float64,
+            )
+        ref = self._logo_reference(ll, gids)
+        assert_allclose(res["elpd_logo"], ref["elpd_logo"], rtol=1e-9)
+
+    def test_sis_warns(self):
+        B, S, ll, gids = self._setup()
+        llj = jnp.asarray(ll)
+        with pytest.warns(UserWarning, match="PSIS is the recommended"):
+            pl.loo_group_streaming(
+                _fn(llj), gids, B, S, method="sis", dtype=jnp.float64
+            )
+
+    def test_validation(self):
+        with pytest.raises(ValueError, match="must match the number"):
+            pl.loo_group_streaming(lambda i: None, np.zeros(5), 10, 100)
+        with pytest.raises(ValueError, match="Invalid method"):
+            pl.loo_group_streaming(
+                lambda i: None, np.zeros(10), 10, 100, method="tjs"
+            )

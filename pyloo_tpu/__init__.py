@@ -71,6 +71,7 @@ from .streaming import (
     e_loo_streaming,
     loo_group_streaming,
     loo_predictive_metric_streaming,
+    loo_score_streaming,
     loo_streaming,
     loo_subsample_streaming,
     waic_streaming,
@@ -101,6 +102,7 @@ __all__ = [
     "waic_streaming",
     "loo_predictive_metric_streaming",
     "loo_group_streaming",
+    "loo_score_streaming",
     "update_subsample",
     "loo_group",
     "loo_i",

@@ -49,6 +49,7 @@ __all__ = [
     "waic_streaming",
     "loo_predictive_metric_streaming",
     "loo_group_streaming",
+    "loo_score_streaming",
     "clear_streaming_cache",
 ]
 
@@ -1232,3 +1233,144 @@ def loo_group_streaming(
         group_ll, unique_groups, n_draws, reff, scale, scale_value,
         method, pointwise,
     )
+
+
+@partial(jax.jit, static_argnames=("tail_max", "scale"))
+def _crps_chunk(ll, x, x2, y, perms, *, tail_max, scale):
+    """Pointwise (S)CRPS for one chunk: PSIS-weighted E|X-y| plus the
+    permutation-averaged E|X-X'| under the joint two-sample weights
+    (reference ``pyloo/loo_score.py:277-346``).  ``perms`` is ``(P, S)``;
+    the P loop unrolls at trace time (P is small)."""
+    from .ops.expectations import weighted_mean_batch
+    from .ops.psis import psislw_batch
+
+    lw, k = psislw_batch(-ll, tail_max)
+    EXy = weighted_mean_batch(jnp.abs(x - y[:, None]), lw)
+    EXX = jnp.zeros_like(EXy)
+    for p in range(perms.shape[0]):
+        perm = perms[p]
+        joint = -ll - ll[:, perm]
+        jlw, _ = psislw_batch(joint, tail_max)
+        EXX = EXX + weighted_mean_batch(jnp.abs(x - x2[:, perm]), jlw)
+    EXX = EXX / perms.shape[0]
+    if scale:
+        score = -EXy / EXX - 0.5 * jnp.log(EXX)
+    else:
+        score = 0.5 * EXX - EXy
+    return score, k
+
+
+def loo_score_streaming(
+    log_lik_fn,
+    x_fn,
+    x2_fn,
+    y,
+    n_obs: int,
+    n_draws: int,
+    *,
+    permutations: int = 1,
+    reff: float = 1.0,
+    scale: bool = False,
+    seed: int | None = None,
+    chunk_size: int | None = None,
+    dtype=None,
+    mesh=None,
+    on_chunk=None,
+):
+    """LOO-CRPS / LOO-SCRPS (:func:`pyloo_tpu.loo_score`, reference
+    ``pyloo/loo_score.py:48-274``) for datasets too large to materialize.
+
+    ``x_fn`` / ``x2_fn`` generate the two independent predictive sample sets
+    (``(chunk,) int32 -> (chunk, n_draws)``, same contract as
+    ``log_lik_fn``); ``y`` is the length-``n_obs`` observed vector.  The
+    draw permutations pairing x with x2 are host-drawn once and shared by
+    every chunk — identical semantics (and, at equal ``seed``, identical
+    permutations) to the in-memory path, so results match it exactly.
+
+    Returns :class:`~pyloo_tpu.loo_score.LooScoreResult` with the pointwise
+    scores and Pareto-k diagnostics as ``(n_obs,)`` arrays.
+    """
+    from .loo_score import LooScoreResult
+
+    if n_draws < 2:
+        raise ValueError("PSIS requires at least 2 draws per observation.")
+    if n_obs < 1:
+        raise ValueError("n_obs must be positive.")
+    if permutations < 1:
+        raise ValueError("permutations must be a positive integer")
+    y = np.asarray(y).ravel()
+    if len(y) != n_obs:
+        raise ValueError(
+            f"Length of y ({len(y)}) must match n_obs ({n_obs})"
+        )
+
+    if dtype is None:
+        dtype = jnp.dtype(rcParams["device.precision"])
+    else:
+        dtype = jnp.dtype(dtype)
+    if chunk_size is None:
+        # three resident (chunk, S) tensors per step
+        chunk_size = max((700 << 20) // (n_draws * dtype.itemsize), 8)
+    chunk_size = int(min(chunk_size, n_obs))
+    multiple = 8 if mesh is None else int(np.lcm(8, mesh.devices.size))
+    chunk_size = max(multiple, chunk_size - chunk_size % multiple)
+    n_chunks = -(-n_obs // chunk_size)
+
+    tail_max = tail_length(n_draws, reff)
+    sharding = _mesh_sharding(mesh)
+    gen_ll = _gen_program(log_lik_fn, chunk_size, n_obs, str(dtype), sharding)
+    gen_x = _gen_program(x_fn, chunk_size, n_obs, str(dtype), sharding)
+    gen_x2 = _gen_program(x2_fn, chunk_size, n_obs, str(dtype), sharding)
+
+    rng = np.random.default_rng(seed)
+    perms = jnp.asarray(
+        np.stack([rng.permutation(n_draws) for _ in range(permutations)]),
+        jnp.int32,
+    )
+    y_pad = np.zeros(n_chunks * chunk_size, np.float64)
+    y_pad[:n_obs] = y
+
+    buf_s = jnp.zeros((n_chunks * chunk_size,), dtype)
+    buf_k = jnp.zeros((n_chunks * chunk_size,), dtype)
+    for c in range(n_chunks):
+        ci = jnp.asarray(c, jnp.int32)
+        yc = jnp.asarray(
+            y_pad[c * chunk_size : (c + 1) * chunk_size], dtype
+        )
+        score, k = _crps_chunk(
+            gen_ll(ci), gen_x(ci), gen_x2(ci), yc, perms,
+            tail_max=tail_max, scale=scale,
+        )
+        start = jnp.asarray(c * chunk_size, jnp.int32)
+        buf_s = _write_chunk(buf_s, score.astype(dtype), start)
+        buf_k = _write_chunk(buf_k, k.astype(dtype), start)
+        if on_chunk is not None:
+            on_chunk(c + 1, n_chunks)
+
+    score_pw = np.asarray(jax.device_get(buf_s), np.float64)[:n_obs]
+    pareto_k = np.asarray(jax.device_get(buf_k), np.float64)[:n_obs]
+
+    score_value = float(score_pw.mean())
+    score_se = float(score_pw.std() / np.sqrt(score_pw.size))
+    estimates = np.array(
+        [(score_value, score_se)], dtype=[("Estimate", float), ("SE", float)]
+    )[0]
+    result = LooScoreResult(estimates=estimates, pointwise=score_pw)
+
+    good_k = good_k_threshold(n_draws)
+    result.pareto_k = pareto_k
+    result.good_k = good_k
+    if np.any(pareto_k > good_k):
+        n_high_k = int(np.sum(pareto_k > good_k))
+        warnings.warn(
+            "Estimated shape parameter of Pareto distribution is greater than"
+            f" {good_k:.2f} for {n_high_k} observations. This indicates that"
+            " importance sampling may be unreliable because the marginal"
+            " posterior and LOO posterior are very different.",
+            UserWarning,
+            stacklevel=2,
+        )
+        result.warning = True
+    else:
+        result.warning = False
+    return result

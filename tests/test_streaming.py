@@ -649,3 +649,58 @@ class TestLogoStreaming:
             pl.loo_group_streaming(
                 lambda i: None, np.zeros(10), 10, 100, method="tjs"
             )
+
+
+class TestLooScoreStreaming:
+    """loo_score_streaming == loo_score at the same seed."""
+
+    def _setup(self):
+        rng = np.random.default_rng(51)
+        B, S = 53, 240
+        ll = rng.normal(-1.0, 0.5, size=(B, S))
+        x = rng.normal(0.5, 1.2, size=(B, S))
+        x2 = rng.normal(0.5, 1.2, size=(B, S))
+        y = rng.normal(0.5, 1.2, size=B)
+        return B, S, ll, x, x2, y
+
+    def _reference(self, ll, x, x2, y, **kw):
+        idata = pl.from_dict(
+            log_likelihood={"obs": ll.T[None]},
+            posterior_predictive={"obs": x.T[None], "obs2": x2.T[None]},
+            observed_data={"obs": y},
+            dims={"obs": ["obs_id"], "obs2": ["obs_id"]},
+        )
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            return pl.loo_score(
+                idata, x_var="obs", x2_var="obs2", pointwise=True,
+                reff=1.0, **kw,
+            )
+
+    @pytest.mark.parametrize("scale,perms", [(False, 1), (True, 1), (False, 3)])
+    def test_matches_loo_score(self, scale, perms):
+        B, S, ll, x, x2, y = self._setup()
+        ref = self._reference(ll, x, x2, y, scale=scale, permutations=perms,
+                              seed=7)
+        llj, xj, x2j = jnp.asarray(ll), jnp.asarray(x), jnp.asarray(x2)
+        got = pl.loo_score_streaming(
+            lambda i: llj[i], lambda i: xj[i], lambda i: x2j[i], y, B, S,
+            scale=scale, permutations=perms, seed=7, chunk_size=16,
+            dtype=jnp.float64,
+        )
+        assert_allclose(got.pointwise, ref.pointwise, rtol=1e-9)
+        assert_allclose(got.estimates["Estimate"], ref.estimates["Estimate"],
+                        rtol=1e-9)
+        assert_allclose(got.estimates["SE"], ref.estimates["SE"], rtol=1e-9)
+        assert_allclose(got.pareto_k,
+                        np.asarray(ref.pareto_k.values
+                                   if hasattr(ref.pareto_k, "values")
+                                   else ref.pareto_k).ravel(), rtol=1e-9)
+
+    def test_validation(self):
+        f = lambda i: None
+        with pytest.raises(ValueError, match="must match n_obs"):
+            pl.loo_score_streaming(f, f, f, np.zeros(4), 10, 100)
+        with pytest.raises(ValueError, match="permutations must be"):
+            pl.loo_score_streaming(f, f, f, np.zeros(10), 10, 100,
+                                   permutations=0)

@@ -69,6 +69,7 @@ from .loo_subsample import loo_subsample, update_subsample
 from .streaming import (
     clear_streaming_cache,
     e_loo_streaming,
+    loo_compare_streaming,
     loo_group_streaming,
     loo_predictive_metric_streaming,
     loo_score_streaming,
@@ -103,6 +104,7 @@ __all__ = [
     "loo_predictive_metric_streaming",
     "loo_group_streaming",
     "loo_score_streaming",
+    "loo_compare_streaming",
     "update_subsample",
     "loo_group",
     "loo_i",

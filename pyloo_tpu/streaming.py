@@ -50,6 +50,7 @@ __all__ = [
     "loo_predictive_metric_streaming",
     "loo_group_streaming",
     "loo_score_streaming",
+    "loo_compare_streaming",
     "clear_streaming_cache",
 ]
 
@@ -1374,3 +1375,100 @@ def loo_score_streaming(
     else:
         result.warning = False
     return result
+
+
+def loo_compare_streaming(
+    compare_dict,
+    n_obs: int,
+    n_draws: int,
+    *,
+    method: str = "stacking",
+    b_samples: int = 1000,
+    alpha: float = 1,
+    seed=None,
+    reff: float = 1.0,
+    is_method: str | ISMethod = "psis",
+    scale: str | None = None,
+    chunk_size: int | None = None,
+    dtype=None,
+    mesh=None,
+    on_chunk=None,
+):
+    """Model comparison (:func:`pyloo_tpu.loo_compare`, reference
+    ``pyloo/compare.py:23-264``) where each model's log-likelihood is
+    streamed — no model ever materializes its ``(n_obs, n_draws)`` matrix.
+
+    ``compare_dict`` maps model names to chunk generators (the
+    ``(chunk,) int32 -> (chunk, n_draws)`` contract of
+    :func:`loo_streaming`) or to precomputed pointwise
+    :class:`~pyloo_tpu.elpd.ELPDData` results, mixed freely.  Every
+    generator entry is scored by :func:`loo_streaming` with
+    ``pointwise=True`` — only the ``(n_obs,)`` pointwise elpd vector per
+    model is kept, so comparing K models at 1e7 observations holds
+    K * n_obs floats instead of K * n_obs * n_draws — and the assembled
+    results are ranked and weighted by the standard machinery (stacking /
+    BB-pseudo-BMA / pseudo-BMA, pairwise ``elpd_diff`` and ``dse`` from
+    the pointwise vectors).  Results are identical to materializing each
+    matrix and calling ``loo_compare({name: loo(..., pointwise=True)})``.
+
+    Parameters
+    ----------
+    compare_dict : dict
+        ``{name: log_lik_fn or ELPDData}`` with at least two entries.
+    n_obs, n_draws : int
+        Dataset extent shared by every generator entry (precomputed
+        entries are validated against it).
+    method, b_samples, alpha, seed
+        Weighting options, as :func:`pyloo_tpu.loo_compare`.
+    reff, is_method, scale, chunk_size, dtype, mesh
+        Streaming-LOO options applied to every generator entry, as
+        :func:`loo_streaming` (``is_method`` is its ``method``).
+    on_chunk : callable, optional
+        Progress hook ``on_chunk(name, next_chunk_index, n_chunks)``.
+
+    Returns
+    -------
+    pandas.DataFrame ordered best-to-worst, as :func:`loo_compare`.
+    """
+    from .compare import loo_compare
+
+    if not isinstance(compare_dict, dict):
+        raise TypeError("compare_dict must be a dictionary")
+    if len(compare_dict) < 2:
+        raise ValueError("You must specify at least two models for comparison")
+
+    elpds = {}
+    for name, entry in compare_dict.items():
+        if isinstance(entry, ELPDData):
+            if entry["n_data_points"] != n_obs:
+                raise ValueError(
+                    f"Precomputed ELPDData for model '{name}' has"
+                    f" {entry['n_data_points']} observations; expected"
+                    f" {n_obs}."
+                )
+            elpds[name] = entry
+            continue
+        hook = None
+        if on_chunk is not None:
+            hook = partial(on_chunk, name)
+        elpds[name] = loo_streaming(
+            entry,
+            n_obs,
+            n_draws,
+            reff=reff,
+            chunk_size=chunk_size,
+            pointwise=True,
+            method=is_method,
+            scale=scale,
+            dtype=dtype,
+            mesh=mesh,
+            on_chunk=hook,
+        )
+    return loo_compare(
+        elpds,
+        method=method,
+        b_samples=b_samples,
+        alpha=alpha,
+        seed=seed,
+        scale=scale,
+    )

@@ -704,3 +704,87 @@ class TestLooScoreStreaming:
         with pytest.raises(ValueError, match="permutations must be"):
             pl.loo_score_streaming(f, f, f, np.zeros(10), 10, 100,
                                    permutations=0)
+
+
+class TestLooCompareStreaming:
+    """loo_compare_streaming == loo_compare over materialized matrices."""
+
+    def _setup(self):
+        rng = np.random.default_rng(83)
+        B, S = 61, 220
+        ll_a = rng.normal(-1.0, 0.5, size=(B, S))
+        ll_b = ll_a + rng.normal(-0.05, 0.15, size=(B, S))
+        return B, S, ll_a, ll_b
+
+    def _reference_compare(self, named_lls, **kw):
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            elpds = {
+                name: _loo_reference(ll, pointwise=True)
+                for name, ll in named_lls.items()
+            }
+            return pl.loo_compare(elpds, **kw)
+
+    @pytest.mark.parametrize("method", ["stacking", "bb-pseudo-bma",
+                                        "pseudo-bma"])
+    def test_matches_loo_compare(self, method):
+        B, S, ll_a, ll_b = self._setup()
+        ref = self._reference_compare(
+            {"a": ll_a, "b": ll_b}, method=method, seed=3
+        )
+        aj, bj = jnp.asarray(ll_a), jnp.asarray(ll_b)
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            got = pl.loo_compare_streaming(
+                {"a": lambda i: aj[i], "b": lambda i: bj[i]}, B, S,
+                method=method, seed=3, chunk_size=16, dtype=jnp.float64,
+            )
+        assert list(got.index) == list(ref.index)
+        for col in ("rank", "elpd_loo", "p_loo", "elpd_diff", "weight",
+                    "se", "dse"):
+            assert_allclose(
+                got[col].to_numpy(dtype=float),
+                ref[col].to_numpy(dtype=float),
+                rtol=1e-7, atol=1e-12, err_msg=col,
+            )
+
+    def test_mixed_precomputed_entries(self):
+        B, S, ll_a, ll_b = self._setup()
+        precomputed = _loo_reference(ll_a, pointwise=True)
+        bj = jnp.asarray(ll_b)
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            got = pl.loo_compare_streaming(
+                {"a": precomputed, "b": lambda i: bj[i]}, B, S,
+                chunk_size=32, dtype=jnp.float64,
+            )
+            ref = self._reference_compare({"a": ll_a, "b": ll_b})
+        assert_allclose(got["elpd_loo"].to_numpy(dtype=float),
+                        ref["elpd_loo"].to_numpy(dtype=float), rtol=1e-9)
+        assert_allclose(got["dse"].to_numpy(dtype=float),
+                        ref["dse"].to_numpy(dtype=float), rtol=1e-7)
+
+    def test_progress_hook_names_models(self):
+        B, S, ll_a, ll_b = self._setup()
+        aj, bj = jnp.asarray(ll_a), jnp.asarray(ll_b)
+        seen = []
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            pl.loo_compare_streaming(
+                {"a": lambda i: aj[i], "b": lambda i: bj[i]}, B, S,
+                chunk_size=32, dtype=jnp.float64,
+                on_chunk=lambda name, c, n: seen.append((name, c, n)),
+            )
+        assert {name for name, _, _ in seen} == {"a", "b"}
+        assert all(n == 2 for _, _, n in seen)
+
+    def test_validation(self):
+        f = lambda i: None
+        with pytest.raises(TypeError, match="must be a dictionary"):
+            pl.loo_compare_streaming([f, f], 10, 100)
+        with pytest.raises(ValueError, match="at least two models"):
+            pl.loo_compare_streaming({"a": f}, 10, 100)
+        B, S, ll_a, _ = self._setup()
+        pre = _loo_reference(ll_a, pointwise=True)
+        with pytest.raises(ValueError, match="observations; expected"):
+            pl.loo_compare_streaming({"a": pre, "b": f}, B + 1, S)

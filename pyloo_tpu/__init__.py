@@ -69,6 +69,7 @@ from .loo_subsample import loo_subsample, update_subsample
 from .streaming import (
     clear_streaming_cache,
     e_loo_streaming,
+    loo_approximate_posterior_streaming,
     loo_compare_streaming,
     loo_group_streaming,
     loo_predictive_metric_streaming,
@@ -105,6 +106,7 @@ __all__ = [
     "loo_group_streaming",
     "loo_score_streaming",
     "loo_compare_streaming",
+    "loo_approximate_posterior_streaming",
     "update_subsample",
     "loo_group",
     "loo_i",

@@ -51,6 +51,7 @@ __all__ = [
     "loo_group_streaming",
     "loo_score_streaming",
     "loo_compare_streaming",
+    "loo_approximate_posterior_streaming",
     "clear_streaming_cache",
 ]
 
@@ -1472,3 +1473,106 @@ def loo_compare_streaming(
         seed=seed,
         scale=scale,
     )
+
+
+def loo_approximate_posterior_streaming(
+    log_lik_fn,
+    log_p,
+    log_q,
+    n_obs: int,
+    n_draws: int,
+    *,
+    reff: float = 1.0,
+    chunk_size: int | None = None,
+    pointwise: bool = False,
+    method: str | ISMethod = "psis",
+    resample_method: str = "psis",
+    seed: int | None = None,
+    scale: str | None = None,
+    dtype=None,
+    mesh=None,
+    checkpoint_path: str | None = None,
+    checkpoint_every: int = 64,
+    on_chunk=None,
+):
+    """LOO-CV with a posterior-approximation correction
+    (:func:`pyloo_tpu.loo_approximate_posterior`, reference
+    ``pyloo/loo_approximate_posterior.py:20-434``) over a streamed
+    log-likelihood.
+
+    ``log_p`` (target) and ``log_q`` (proposal) are length-``n_draws``
+    vectors at the proposal draws.  The draw-level importance resampling
+    (:func:`pyloo_tpu.importance_resample`) runs once on the host —
+    identical indices to the in-memory path at equal ``seed`` — and the
+    reindex is fused into the chunk generator (each chunk's columns are
+    gathered on device), so the corrected LOO streams with the same
+    O(chunk) memory as :func:`loo_streaming`.  All other options behave as
+    :func:`loo_streaming`; when resuming from ``checkpoint_path``, pass
+    the same ``seed`` so the resampled draw indices match.
+
+    Returns the same :class:`~pyloo_tpu.elpd.ELPDData` as
+    :func:`loo_approximate_posterior`, including the
+    ``approximate_posterior`` attribute.
+    """
+    log_p = np.asarray(log_p).ravel()
+    log_q = np.asarray(log_q).ravel()
+    if len(log_p) != len(log_q):
+        raise ValueError(
+            f"log_p and log_q must have the same length, got {len(log_p)}"
+            f" and {len(log_q)}"
+        )
+    if len(log_p) != n_draws:
+        raise ValueError(
+            f"log_p/log_q length ({len(log_p)}) must match n_draws"
+            f" ({n_draws})"
+        )
+    method_is = ISMethod(method.lower() if isinstance(method, str) else method)
+    if method_is != ISMethod.PSIS:
+        warnings.warn(
+            f"Using {method_is.value.upper()} for LOO computation. Note that"
+            " PSIS is the recommended method as it is typically more"
+            " efficient and reliable.",
+            UserWarning,
+            stacklevel=2,
+        )
+
+    from .loo_approximate_posterior import importance_resample
+
+    indices = None
+    try:
+        indices = importance_resample(
+            log_p=log_p, log_q=log_q, method=resample_method, seed=seed
+        )
+    except Exception as e:
+        warnings.warn(
+            f"Importance resampling failed: {str(e)}. Falling back to"
+            " original samples.",
+            UserWarning,
+            stacklevel=2,
+        )
+
+    if indices is None:
+        wrapped = log_lik_fn
+    else:
+        idx_dev = jnp.asarray(indices, jnp.int32)
+
+        def wrapped(obs_idx):
+            return jnp.take(log_lik_fn(obs_idx), idx_dev, axis=1)
+
+    result = loo_streaming(
+        wrapped,
+        n_obs,
+        n_draws,
+        reff=reff,
+        chunk_size=chunk_size,
+        pointwise=pointwise,
+        method=method_is,
+        scale=scale,
+        dtype=dtype,
+        mesh=mesh,
+        checkpoint_path=checkpoint_path,
+        checkpoint_every=checkpoint_every,
+        on_chunk=on_chunk,
+    )
+    result.approximate_posterior = {"log_p": log_p, "log_q": log_q}
+    return result

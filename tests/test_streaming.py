@@ -788,3 +788,66 @@ class TestLooCompareStreaming:
         pre = _loo_reference(ll_a, pointwise=True)
         with pytest.raises(ValueError, match="observations; expected"):
             pl.loo_compare_streaming({"a": pre, "b": f}, B + 1, S)
+
+
+class TestLooApproximatePosteriorStreaming:
+    """Streamed approximate-posterior LOO == in-memory path at equal seed."""
+
+    def _setup(self):
+        rng = np.random.default_rng(29)
+        B, S = 57, 260
+        ll = rng.normal(-1.1, 0.5, size=(B, S))
+        log_q = rng.normal(-3.0, 0.7, size=S)
+        log_p = log_q + rng.normal(0.0, 0.3, size=S)
+        return B, S, ll, log_p, log_q
+
+    def _reference(self, ll, log_p, log_q, **kw):
+        idata = pl.from_dict(log_likelihood={"obs": ll.T[None]})
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            return pl.loo_approximate_posterior(
+                idata, log_p, log_q, reff=1.0, **kw
+            )
+
+    @pytest.mark.parametrize("resample_method", ["psis", "psir", "sis"])
+    def test_matches_in_memory(self, resample_method):
+        B, S, ll, log_p, log_q = self._setup()
+        ref = self._reference(
+            ll, log_p, log_q, pointwise=True,
+            resample_method=resample_method, seed=17,
+        )
+        llj = jnp.asarray(ll)
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            got = pl.loo_approximate_posterior_streaming(
+                lambda i: llj[i], log_p, log_q, B, S, pointwise=True,
+                resample_method=resample_method, seed=17, chunk_size=16,
+                dtype=jnp.float64,
+            )
+        for key in ("elpd_loo", "se", "p_loo", "looic"):
+            assert_allclose(got[key], ref[key], rtol=1e-9, err_msg=key)
+        assert_allclose(got.loo_i.values, ref.loo_i.values.ravel(),
+                        rtol=1e-9)
+        assert_allclose(got.pareto_k.values, ref.pareto_k.values.ravel(),
+                        rtol=1e-7)
+        assert got.approximate_posterior["log_p"] is not None
+
+    def test_non_psis_method_warns(self):
+        B, S, ll, log_p, log_q = self._setup()
+        llj = jnp.asarray(ll)
+        with pytest.warns(UserWarning, match="recommended method"):
+            pl.loo_approximate_posterior_streaming(
+                lambda i: llj[i], log_p, log_q, B, S, method="sis",
+                seed=3, chunk_size=32, dtype=jnp.float64,
+            )
+
+    def test_validation(self):
+        f = lambda i: None
+        with pytest.raises(ValueError, match="same length"):
+            pl.loo_approximate_posterior_streaming(
+                f, np.zeros(5), np.zeros(6), 10, 5
+            )
+        with pytest.raises(ValueError, match="must match n_draws"):
+            pl.loo_approximate_posterior_streaming(
+                f, np.zeros(5), np.zeros(5), 10, 100
+            )

@@ -188,6 +188,37 @@ def _accumulate_chunk(ll, c, n_obs, carry, *, method, tail_max):
     return carry, elpd_i, diag
 
 
+# Mix-IS-LOO chunk step (Silva & Zanella 2022; reference pyloo/loo.py:252-284).
+# The mixture normalizer log_norm = logsumexp_i(-c_i) couples observations,
+# but it is a pure logsumexp reduction over the obs axis — a running scalar
+# carry — so the estimator streams in ONE pass: per chunk accumulate the
+# normalizer plus the sums of log_obs_i (and its square, for the SE), then
+# close with elpd_i = log_norm - log_obs_i.
+@jax.jit
+def _mixture_chunk(ll, c, n_obs, carry):
+    from .ops.lse import logsumexp
+
+    chunk, S = ll.shape
+    idx = c * chunk + jnp.arange(chunk, dtype=jnp.int32)
+    valid = idx < n_obs
+    c_i = logsumexp(-ll, axis=1)
+    log_obs = logsumexp(-ll - c_i[:, None], axis=1)
+    lppd_i = logsumexp(ll, axis=1, b_inv=S)
+
+    acc = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    chunk_ln = logsumexp(jnp.where(valid, -c_i, -jnp.inf).astype(acc), axis=0)
+    lo = jnp.where(valid, log_obs, 0.0).astype(acc)
+    carry = dict(
+        carry,
+        log_norm=jnp.logaddexp(carry["log_norm"], chunk_ln),
+        sum_lo=carry["sum_lo"] + jnp.sum(lo),
+        sum_lo2=carry["sum_lo2"] + jnp.sum(lo * lo),
+        sum_lppd=carry["sum_lppd"]
+        + jnp.sum(jnp.where(valid, lppd_i, 0.0).astype(acc)),
+    )
+    return carry, log_obs, jnp.zeros_like(log_obs)
+
+
 @jax.jit
 def _write_chunk(buf, vals, start):
     return jax.lax.dynamic_update_slice(buf, vals, (start,))
@@ -253,6 +284,7 @@ def loo_streaming(
     chunk_size: int | None = None,
     pointwise: bool = False,
     method: str | ISMethod = "psis",
+    mixture: bool = False,
     scale: str | None = None,
     dtype=None,
     mesh=None,
@@ -286,6 +318,14 @@ def loo_streaming(
         ``(n_obs,)`` device buffer and one host fetch).
     method : {"psis", "sis", "tis"}
         Importance sampling method (reference ``pyloo/loo.py:96``).
+    mixture : bool
+        Compute Mix-IS-LOO (Silva & Zanella 2022) for draws from a mixture
+        of leave-one-out posteriors (reference ``pyloo/loo.py:252-284``).
+        The mixture normalizer couples observations, but it is a pure
+        logsumexp reduction over the obs axis, so the estimator still
+        streams in one pass with a running-scalar carry.  ``method`` is
+        ignored (no importance weights are formed) and the diagnostic is
+        zero, as in :func:`pyloo_tpu.loo`.
     scale : {"log", "negative_log", "deviance"}, optional
     dtype : optional
         Computation dtype; defaults to ``rcParams["device.precision"]``.
@@ -343,15 +383,31 @@ def loo_streaming(
     good_k = good_k_threshold(n_draws)
     acc = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
     zero = jnp.zeros((), acc)
-    init = {"sum_e": zero, "sum_e2": zero, "sum_lppd": zero}
-    if method == ISMethod.PSIS:
-        init["good_k"] = jnp.asarray(good_k, dtype)
-        init["n_bad"] = jnp.zeros((), jnp.int32)
-        init["k_max"] = jnp.asarray(-jnp.inf, dtype)
-        if dtype == jnp.float32:
-            init["n_degen"] = jnp.zeros((), jnp.int32)
+    if mixture:
+        warnings.warn(
+            "Mix-IS-LOO requires a model that is sampled from a mixture of"
+            " leave-one-out posteriors. Ensure the log-likelihood generator"
+            " passed to `loo_streaming` comes from a model that is sampled"
+            " from such a distribution.",
+            UserWarning,
+            stacklevel=2,
+        )
+        init = {
+            "log_norm": jnp.asarray(-jnp.inf, acc),
+            "sum_lo": zero,
+            "sum_lo2": zero,
+            "sum_lppd": zero,
+        }
     else:
-        init["diag_min"] = jnp.asarray(jnp.inf, dtype)
+        init = {"sum_e": zero, "sum_e2": zero, "sum_lppd": zero}
+        if method == ISMethod.PSIS:
+            init["good_k"] = jnp.asarray(good_k, dtype)
+            init["n_bad"] = jnp.zeros((), jnp.int32)
+            init["k_max"] = jnp.asarray(-jnp.inf, dtype)
+            if dtype == jnp.float32:
+                init["n_degen"] = jnp.zeros((), jnp.int32)
+        else:
+            init["diag_min"] = jnp.asarray(jnp.inf, dtype)
 
     # A host loop of *async* dispatches chained by the device-resident carry;
     # nothing is fetched until the end, so dispatch overhead pipelines under
@@ -371,7 +427,7 @@ def loo_streaming(
     geometry = dict(
         n_obs=n_obs, n_draws=n_draws, chunk_size=chunk_size,
         method=method.value, dtype=str(dtype), pointwise=int(pointwise),
-        scale=scale,
+        scale=scale, mixture=int(mixture),
     )
     start_chunk = 0
     if checkpoint_path is not None:
@@ -386,9 +442,12 @@ def loo_streaming(
     for c in range(start_chunk, n_chunks):
         ci = jnp.asarray(c, jnp.int32)
         ll = gen(ci)
-        carry, elpd_i, diag = _accumulate_chunk(
-            ll, ci, n_obs_dev, carry, method=method, tail_max=tail_max
-        )
+        if mixture:
+            carry, elpd_i, diag = _mixture_chunk(ll, ci, n_obs_dev, carry)
+        else:
+            carry, elpd_i, diag = _accumulate_chunk(
+                ll, ci, n_obs_dev, carry, method=method, tail_max=tail_max
+            )
         if pointwise:
             start = jnp.asarray(c * chunk_size, jnp.int32)
             buf_e = _write_chunk(buf_e, elpd_i, start)
@@ -413,8 +472,17 @@ def loo_streaming(
         elpd_i_host = np.asarray(jax.device_get(buf_e))[:n_obs]
         diag_host = np.asarray(jax.device_get(buf_d))[:n_obs]
 
-    sum_e = float(out["sum_e"])
-    sum_e2 = float(out["sum_e2"])
+    if mixture:
+        # elpd_i = log_norm - log_obs_i, so the sums close in terms of the
+        # accumulated sum_lo / sum_lo2 and the final normalizer.
+        log_norm = float(out["log_norm"])
+        sum_lo = float(out["sum_lo"])
+        sum_lo2 = float(out["sum_lo2"])
+        sum_e = n_obs * log_norm - sum_lo
+        sum_e2 = n_obs * log_norm**2 - 2.0 * log_norm * sum_lo + sum_lo2
+    else:
+        sum_e = float(out["sum_e"])
+        sum_e2 = float(out["sum_e2"])
     lppd = float(out["sum_lppd"])
     var_e = max(sum_e2 / n_obs - (sum_e / n_obs) ** 2, 0.0)
 
@@ -429,7 +497,9 @@ def loo_streaming(
             UserWarning,
             stacklevel=2,
         )
-    if method == ISMethod.PSIS:
+    if mixture:
+        pass  # no importance weights were formed, so no IS diagnostics
+    elif method == ISMethod.PSIS:
         if int(out["n_bad"]) > 0:
             warnings.warn(
                 "Estimated shape parameter of Pareto distribution is greater"
@@ -466,20 +536,25 @@ def loo_streaming(
 
     loo_lppd_i = diagnostic = None
     if pointwise:
+        if mixture:
+            # the buffers hold log_obs_i (the normalizer closes only after
+            # the full pass); diag_host is already all zeros
+            elpd_i_host = log_norm - elpd_i_host
         loo_lppd_i = DataArray(
             scale_value * elpd_i_host, ("obs",), name="loo_i"
         )
         diagnostic = DataArray(
             diag_host,
             ("obs",),
-            name="pareto_k" if method == ISMethod.PSIS else "ess",
+            name="pareto_k" if mixture or method == ISMethod.PSIS else "ess",
         )
 
     result = _assemble(
-        False, loo_lppd, loo_lppd_se, p_loo, p_loo_se, n_draws, n_obs,
+        mixture, loo_lppd, loo_lppd_se, p_loo, p_loo_se, n_draws, n_obs,
         warn_mg, scale, looic, looic_se,
         loo_lppd_i=loo_lppd_i, diagnostic=diagnostic,
-        method=method, good_k=good_k if method == ISMethod.PSIS else None,
+        method=method,
+        good_k=good_k if mixture or method == ISMethod.PSIS else None,
     )
     result.fast_path_degenerate = n_degenerate
     return result

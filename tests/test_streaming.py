@@ -851,3 +851,51 @@ class TestLooApproximatePosteriorStreaming:
             pl.loo_approximate_posterior_streaming(
                 f, np.zeros(5), np.zeros(5), 10, 100
             )
+
+
+class TestMixtureStreaming:
+    """loo_streaming(mixture=True) == loo(mixture=True): the normalizer is a
+    pure obs-axis logsumexp, so Mix-IS-LOO streams in one pass."""
+
+    def _setup(self):
+        rng = np.random.default_rng(67)
+        B, S = 71, 190
+        return B, S, rng.normal(-0.9, 0.6, size=(B, S))
+
+    @pytest.mark.parametrize("chunk", [16, 48, 200])
+    def test_matches_loo_mixture(self, chunk):
+        B, S, ll = self._setup()
+        idata = pl.from_dict(log_likelihood={"obs": ll.T[None]})
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            ref = pl.loo(idata, reff=1.0, mixture=True, pointwise=True)
+        llj = jnp.asarray(ll)
+        with pytest.warns(UserWarning, match="mixture of"):
+            got = pl.loo_streaming(
+                lambda i: llj[i], B, S, mixture=True, pointwise=True,
+                chunk_size=chunk, dtype=jnp.float64,
+            )
+        assert list(got.index) == list(ref.index)
+        assert_allclose(got["elpd_loo"], ref["elpd_loo"], rtol=1e-9)
+        # pointwise mixture elpds are constant by construction (reference
+        # loo.py:274-275: log_obs_weights == 0 identically), so the ref se
+        # is pure rounding noise — compare absolutely
+        assert_allclose(got["se"], ref["se"], atol=1e-10)
+        assert_allclose(got.loo_i.values, ref.loo_i.values.ravel(),
+                        rtol=1e-9)
+        assert np.all(got.pareto_k.values == 0.0)
+        assert "p_loo" not in got.index and "looic" not in got.index
+
+    def test_summary_only(self):
+        B, S, ll = self._setup()
+        llj = jnp.asarray(ll)
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            got = pl.loo_streaming(
+                lambda i: llj[i], B, S, mixture=True, chunk_size=32,
+                dtype=jnp.float64,
+            )
+            idata = pl.from_dict(log_likelihood={"obs": ll.T[None]})
+            ref = pl.loo(idata, reff=1.0, mixture=True)
+        assert_allclose(got["elpd_loo"], ref["elpd_loo"], rtol=1e-9)
+        assert got["n_data_points"] == B

@@ -149,7 +149,7 @@ def _kernel_for(method, tail_max, dtype):
 # the (expensive) score kernel per call.  Only the user's log_lik_fn is
 # compiled per call.
 @partial(jax.jit, static_argnames=("method", "tail_max"))
-def _accumulate_chunk(ll, c, n_obs, carry, *, method, tail_max):
+def _accumulate_chunk(ll, c, n_obs, carry, adj=None, *, method, tail_max):
     chunk = ll.shape[0]
     idx = c * chunk + jnp.arange(chunk, dtype=jnp.int32)
     valid = idx < n_obs
@@ -163,6 +163,8 @@ def _accumulate_chunk(ll, c, n_obs, carry, *, method, tail_max):
         )
     else:
         elpd_i, diag, lppd_i = outs
+    if adj is not None:  # Jacobian adjustment, already in elpd units
+        elpd_i = elpd_i + adj
 
     # accumulate in the widest available dtype: float32 running sums lose
     # ~7 digits over 1e7 observations (the per-chunk cast fuses into the sum)
@@ -195,7 +197,7 @@ def _accumulate_chunk(ll, c, n_obs, carry, *, method, tail_max):
 # normalizer plus the sums of log_obs_i (and its square, for the SE), then
 # close with elpd_i = log_norm - log_obs_i.
 @jax.jit
-def _mixture_chunk(ll, c, n_obs, carry):
+def _mixture_chunk(ll, c, n_obs, carry, adj=None):
     from .ops.lse import logsumexp
 
     chunk, S = ll.shape
@@ -203,6 +205,10 @@ def _mixture_chunk(ll, c, n_obs, carry):
     valid = idx < n_obs
     c_i = logsumexp(-ll, axis=1)
     log_obs = logsumexp(-ll - c_i[:, None], axis=1)
+    if adj is not None:
+        # elpd_i = log_norm - log_obs (+ adj): fold the Jacobian adjustment
+        # into the per-obs term so the closing patch stays log_norm - buf
+        log_obs = log_obs - adj
     lppd_i = logsumexp(ll, axis=1, b_inv=S)
 
     acc = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
@@ -285,6 +291,7 @@ def loo_streaming(
     pointwise: bool = False,
     method: str | ISMethod = "psis",
     mixture: bool = False,
+    jacobian_fn=None,
     scale: str | None = None,
     dtype=None,
     mesh=None,
@@ -326,6 +333,13 @@ def loo_streaming(
         streams in one pass with a running-scalar carry.  ``method`` is
         ignored (no importance weights are formed) and the diagnostic is
         zero, as in :func:`pyloo_tpu.loo`.
+    jacobian_fn : callable, optional
+        Traceable ``(chunk,) int32 -> (chunk,)`` function returning the
+        Jacobian adjustment for a response-variable transformation
+        (reference ``pyloo/loo.py:414-439``), in the units of the scaled
+        pointwise elpd — the streamed analogue of :func:`pyloo_tpu.loo`'s
+        ``jacobian`` array.  Applied per chunk before accumulation, so
+        totals, SEs and pointwise values all reflect the adjustment.
     scale : {"log", "negative_log", "deviance"}, optional
     dtype : optional
         Computation dtype; defaults to ``rcParams["device.precision"]``.
@@ -428,7 +442,20 @@ def loo_streaming(
         n_obs=n_obs, n_draws=n_draws, chunk_size=chunk_size,
         method=method.value, dtype=str(dtype), pointwise=int(pointwise),
         scale=scale, mixture=int(mixture),
+        jacobian=int(jacobian_fn is not None),
     )
+
+    jac_gen = None
+    if jacobian_fn is not None:
+        # adjustments arrive in scaled-elpd units; store them in raw elpd
+        # units so they fold into the standard accumulators (scale_value is
+        # one of {1, -1, -2}: the division is exact)
+        def _jac_program(ci):
+            idx = ci * chunk_size + jnp.arange(chunk_size, dtype=jnp.int32)
+            vals = jacobian_fn(jnp.minimum(idx, n_obs - 1))
+            return jnp.asarray(vals, dtype) / scale_value
+
+        jac_gen = jax.jit(_jac_program)
     start_chunk = 0
     if checkpoint_path is not None:
         loaded = _load_checkpoint(checkpoint_path, geometry)
@@ -442,11 +469,15 @@ def loo_streaming(
     for c in range(start_chunk, n_chunks):
         ci = jnp.asarray(c, jnp.int32)
         ll = gen(ci)
+        adj = jac_gen(ci) if jac_gen is not None else None
         if mixture:
-            carry, elpd_i, diag = _mixture_chunk(ll, ci, n_obs_dev, carry)
+            carry, elpd_i, diag = _mixture_chunk(
+                ll, ci, n_obs_dev, carry, adj
+            )
         else:
             carry, elpd_i, diag = _accumulate_chunk(
-                ll, ci, n_obs_dev, carry, method=method, tail_max=tail_max
+                ll, ci, n_obs_dev, carry, adj,
+                method=method, tail_max=tail_max,
             )
         if pointwise:
             start = jnp.asarray(c * chunk_size, jnp.int32)

@@ -899,3 +899,56 @@ class TestMixtureStreaming:
             ref = pl.loo(idata, reff=1.0, mixture=True)
         assert_allclose(got["elpd_loo"], ref["elpd_loo"], rtol=1e-9)
         assert got["n_data_points"] == B
+
+
+class TestJacobianStreaming:
+    """loo_streaming(jacobian_fn=...) == loo(jacobian=...)."""
+
+    def _setup(self):
+        rng = np.random.default_rng(41)
+        B, S = 59, 210
+        ll = rng.normal(-1.0, 0.5, size=(B, S))
+        jac = rng.normal(0.0, 0.3, size=B)
+        return B, S, ll, jac
+
+    @pytest.mark.parametrize("scale", ["log", "deviance"])
+    def test_matches_loo_jacobian(self, scale):
+        B, S, ll, jac = self._setup()
+        idata = pl.from_dict(log_likelihood={"obs": ll.T[None]})
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            ref = pl.loo(idata, reff=1.0, pointwise=True, jacobian=jac,
+                         scale=scale)
+        llj, jj = jnp.asarray(ll), jnp.asarray(jac)
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            got = pl.loo_streaming(
+                lambda i: llj[i], B, S, pointwise=True, chunk_size=16,
+                jacobian_fn=lambda i: jj[i], scale=scale,
+                dtype=jnp.float64,
+            )
+        for key in ("elpd_loo", "se", "p_loo", "p_loo_se", "looic",
+                    "looic_se"):
+            assert_allclose(got[key], ref[key], rtol=1e-9, err_msg=key)
+        assert_allclose(got.loo_i.values, ref.loo_i.values.ravel(),
+                        rtol=1e-9)
+
+    def test_mixture_jacobian(self):
+        B, S, ll, jac = self._setup()
+        idata = pl.from_dict(log_likelihood={"obs": ll.T[None]})
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            ref = pl.loo(idata, reff=1.0, pointwise=True, mixture=True,
+                         jacobian=jac)
+        llj, jj = jnp.asarray(ll), jnp.asarray(jac)
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            got = pl.loo_streaming(
+                lambda i: llj[i], B, S, pointwise=True, mixture=True,
+                chunk_size=24, jacobian_fn=lambda i: jj[i],
+                dtype=jnp.float64,
+            )
+        assert_allclose(got["elpd_loo"], ref["elpd_loo"], rtol=1e-9)
+        assert_allclose(got["se"], ref["se"], rtol=1e-7)
+        assert_allclose(got.loo_i.values, ref.loo_i.values.ravel(),
+                        rtol=1e-9)

@@ -352,6 +352,36 @@ def update_subsample(
     """
     if not isinstance(loo_data, ELPDData):
         raise TypeError("loo_data must be an ELPDData object from loo_subsample()")
+
+    stream = getattr(loo_data.estimates, "stream", None)
+    if stream is not None:
+        # result came from loo_subsample_streaming: re-dispatch through the
+        # generator interface, reusing the stored (n_obs,) approximation so
+        # the update only streams the new subsample chunk
+        from .streaming import loo_subsample_streaming
+
+        params = {
+            "observations": (
+                observations
+                if observations is not None
+                else loo_data["subsample_size"]
+            ),
+            "estimator": getattr(loo_data.estimates, "estimator", "diff_srs"),
+            "elpd_loo_approximation": stream["elpd_loo_approximation"],
+            "reff": stream["reff"],
+            "chunk_size": stream["chunk_size"],
+            "pointwise": "loo_i" in loo_data,
+            "scale": loo_data["scale"],
+            "dtype": stream["dtype"],
+            "mesh": stream["mesh"],
+            "seed": None,
+        }
+        params.update(kwargs)
+        return loo_subsample_streaming(
+            stream["log_lik_fn"], stream["n_obs"], stream["n_draws"],
+            **params,
+        )
+
     if not hasattr(loo_data.estimates, "data"):
         raise ValueError("Cannot update: original data not available")
 

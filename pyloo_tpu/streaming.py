@@ -833,6 +833,14 @@ def loo_subsample_streaming(
     )
     result.estimates.estimator = est_method.value
     result.estimates.indices = indices
+    # stored stream parameters let update_subsample() re-dispatch through
+    # the generator interface; the (n_obs,) approximation is reused so the
+    # update only streams the new subsample chunk
+    result.estimates.stream = dict(
+        log_lik_fn=log_lik_fn, n_obs=n_obs, n_draws=n_draws,
+        elpd_loo_approximation=elpd_loo_approx, reff=reff,
+        chunk_size=chunk_size, dtype=dtype, mesh=mesh,
+    )
     return result
 
 

@@ -952,3 +952,50 @@ class TestJacobianStreaming:
         assert_allclose(got["se"], ref["se"], rtol=1e-7)
         assert_allclose(got.loo_i.values, ref.loo_i.values.ravel(),
                         rtol=1e-9)
+
+
+class TestUpdateStreamedSubsample:
+    """update_subsample() re-dispatches streamed results through the
+    generator interface, reusing the stored (n_obs,) approximation."""
+
+    def test_update_matches_direct_call(self):
+        rng = np.random.default_rng(59)
+        n, s = 1500, 300
+        ll = rng.normal(-1.0, 0.5, size=(n, s))
+        ll_dev = jnp.asarray(ll)
+        fn = lambda i: ll_dev[i]
+        idx0 = np.arange(0, n, 7)
+        idx1 = np.arange(0, n, 3)
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            first = pl.loo_subsample_streaming(
+                fn, n, s, observations=idx0, dtype=jnp.float64,
+                pointwise=True,
+            )
+            updated = pl.update_subsample(first, observations=idx1)
+            direct = pl.loo_subsample_streaming(
+                fn, n, s, observations=idx1, dtype=jnp.float64,
+                pointwise=True,
+            )
+        for key in ("elpd_loo", "se", "subsampling_SE", "p_loo", "looic"):
+            assert_allclose(updated[key], direct[key], rtol=1e-12,
+                            err_msg=key)
+        assert updated["subsample_size"] == len(idx1)
+        assert "loo_i" in updated.index
+
+    def test_update_larger_random_subsample(self):
+        rng = np.random.default_rng(61)
+        n, s = 900, 250
+        ll = rng.normal(-1.0, 0.5, size=(n, s))
+        ll_dev = jnp.asarray(ll)
+        fn = lambda i: ll_dev[i]
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            first = pl.loo_subsample_streaming(
+                fn, n, s, observations=100, seed=1, dtype=jnp.float64,
+            )
+            updated = pl.update_subsample(first, observations=400, seed=2)
+        assert updated["subsample_size"] == 400
+        # bigger subsample -> smaller subsampling SE (typical draw)
+        assert updated["subsampling_SE"] < first["subsampling_SE"] * 2
+        assert np.isfinite(updated["elpd_loo"])

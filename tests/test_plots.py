@@ -174,3 +174,27 @@ def test_explicit_backend_matplotlib(results):
     r, _, _ = results
     ax = pl.plot_loo(r, backend="matplotlib")
     assert ax is not None
+
+
+def test_plots_accept_streamed_results():
+    """Streamed ELPDData (1-D obs DataArrays) drives the plot family."""
+    import warnings
+
+    import jax.numpy as jnp
+
+    import pyloo_tpu as pl
+
+    rng = np.random.default_rng(21)
+    B, S = 40, 120
+    ll = rng.normal(-1.0, 0.5, size=(B, S))
+    llj = jnp.asarray(ll)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        res = pl.loo_streaming(
+            lambda i: llj[i], B, S, pointwise=True, chunk_size=16,
+            dtype=jnp.float64,
+        )
+    ax = pl.plot_loo(res, show=False)
+    assert ax is not None
+    ax2 = pl.plot_influence(res, show=False)
+    assert ax2 is not None

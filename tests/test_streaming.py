@@ -999,3 +999,59 @@ class TestUpdateStreamedSubsample:
         # bigger subsample -> smaller subsampling SE (typical draw)
         assert updated["subsampling_SE"] < first["subsampling_SE"] * 2
         assert np.isfinite(updated["elpd_loo"])
+
+
+class TestMixtureCheckpointResume:
+    """The mixture carry (running-logsumexp normalizer) survives
+    checkpoint/resume, and a mixture checkpoint cannot resume a
+    non-mixture run."""
+
+    def test_mixture_resume_matches_clean(self, tmp_path):
+        import os
+
+        ll = jnp.asarray(
+            np.random.default_rng(9).normal(-1, 0.6, (96, 50))
+        )
+        fn = lambda i: ll[i]
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            clean = pl.loo_streaming(
+                fn, 96, 50, chunk_size=16, pointwise=True, mixture=True,
+                dtype=jnp.float64,
+            )
+        ckpt = str(tmp_path / "mix.ckpt.npz")
+
+        class Preempt(Exception):
+            pass
+
+        def die_at_4(c, n_chunks):
+            if c == 4:
+                raise Preempt()
+
+        with pytest.raises(Preempt), warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            pl.loo_streaming(
+                fn, 96, 50, chunk_size=16, pointwise=True, mixture=True,
+                dtype=jnp.float64, checkpoint_path=ckpt,
+                checkpoint_every=2, on_chunk=die_at_4,
+            )
+        assert os.path.exists(ckpt)
+        # a mixture checkpoint must not resume a non-mixture run
+        with pytest.raises(ValueError, match="was written for"), \
+                warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            pl.loo_streaming(
+                fn, 96, 50, chunk_size=16, pointwise=True,
+                dtype=jnp.float64, checkpoint_path=ckpt,
+            )
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            resumed = pl.loo_streaming(
+                fn, 96, 50, chunk_size=16, pointwise=True, mixture=True,
+                dtype=jnp.float64, checkpoint_path=ckpt,
+                checkpoint_every=2,
+            )
+        assert_allclose(resumed["elpd_loo"], clean["elpd_loo"], rtol=1e-14)
+        assert_allclose(resumed.loo_i.values, clean.loo_i.values,
+                        rtol=1e-14)
+        assert not os.path.exists(ckpt)

@@ -1497,6 +1497,7 @@ def loo_compare_streaming(
     n_obs: int,
     n_draws: int,
     *,
+    ic: str = "loo",
     method: str = "stacking",
     b_samples: int = 1000,
     alpha: float = 1,
@@ -1533,6 +1534,10 @@ def loo_compare_streaming(
     n_obs, n_draws : int
         Dataset extent shared by every generator entry (precomputed
         entries are validated against it).
+    ic : {"loo", "waic"}
+        Information criterion: generator entries are scored by
+        :func:`loo_streaming` or :func:`waic_streaming` respectively
+        (``reff`` / ``is_method`` apply to LOO only).
     method, b_samples, alpha, seed
         Weighting options, as :func:`pyloo_tpu.loo_compare`.
     reff, is_method, scale, chunk_size, dtype, mesh
@@ -1551,6 +1556,8 @@ def loo_compare_streaming(
         raise TypeError("compare_dict must be a dictionary")
     if len(compare_dict) < 2:
         raise ValueError("You must specify at least two models for comparison")
+    if ic not in ("loo", "waic"):
+        raise ValueError("ic must be 'loo' or 'waic'")
 
     elpds = {}
     for name, entry in compare_dict.items():
@@ -1566,21 +1573,35 @@ def loo_compare_streaming(
         hook = None
         if on_chunk is not None:
             hook = partial(on_chunk, name)
-        elpds[name] = loo_streaming(
-            entry,
-            n_obs,
-            n_draws,
-            reff=reff,
-            chunk_size=chunk_size,
-            pointwise=True,
-            method=is_method,
-            scale=scale,
-            dtype=dtype,
-            mesh=mesh,
-            on_chunk=hook,
-        )
+        if ic == "waic":
+            elpds[name] = waic_streaming(
+                entry,
+                n_obs,
+                n_draws,
+                chunk_size=chunk_size,
+                pointwise=True,
+                scale=scale,
+                dtype=dtype,
+                mesh=mesh,
+                on_chunk=hook,
+            )
+        else:
+            elpds[name] = loo_streaming(
+                entry,
+                n_obs,
+                n_draws,
+                reff=reff,
+                chunk_size=chunk_size,
+                pointwise=True,
+                method=is_method,
+                scale=scale,
+                dtype=dtype,
+                mesh=mesh,
+                on_chunk=hook,
+            )
     return loo_compare(
         elpds,
+        ic=ic,
         method=method,
         b_samples=b_samples,
         alpha=alpha,

@@ -1055,3 +1055,38 @@ class TestMixtureCheckpointResume:
         assert_allclose(resumed.loo_i.values, clean.loo_i.values,
                         rtol=1e-14)
         assert not os.path.exists(ckpt)
+
+
+class TestCompareStreamingWaic:
+    """loo_compare_streaming(ic='waic') == loo_compare over waic()."""
+
+    def test_matches_waic_compare(self):
+        rng = np.random.default_rng(97)
+        B, S = 49, 180
+        ll_a = rng.normal(-1.0, 0.5, size=(B, S))
+        ll_b = ll_a + rng.normal(-0.05, 0.15, size=(B, S))
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            elpds = {}
+            for name, ll in (("a", ll_a), ("b", ll_b)):
+                idata = pl.from_dict(log_likelihood={"obs": ll.T[None]})
+                elpds[name] = pl.waic(idata, pointwise=True)
+            ref = pl.loo_compare(elpds, ic="waic", seed=5)
+        aj, bj = jnp.asarray(ll_a), jnp.asarray(ll_b)
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            got = pl.loo_compare_streaming(
+                {"a": lambda i: aj[i], "b": lambda i: bj[i]}, B, S,
+                ic="waic", seed=5, chunk_size=16, dtype=jnp.float64,
+            )
+        assert list(got.index) == list(ref.index)
+        for col in ("elpd_waic", "p_waic", "elpd_diff", "weight", "se",
+                    "dse"):
+            assert_allclose(got[col].to_numpy(dtype=float),
+                            ref[col].to_numpy(dtype=float),
+                            rtol=1e-7, atol=1e-12, err_msg=col)
+
+    def test_bad_ic_rejected(self):
+        f = lambda i: None
+        with pytest.raises(ValueError, match="ic must be"):
+            pl.loo_compare_streaming({"a": f, "b": f}, 10, 100, ic="kfold")

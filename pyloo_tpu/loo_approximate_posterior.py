@@ -55,14 +55,6 @@ def loo_approximate_posterior(
     n_data_points = int(np.prod(shape[:-1]))
     scale, scale_value = resolve_scale(scale)
 
-    log_p = np.asarray(log_p).ravel()
-    log_q = np.asarray(log_q).ravel()
-    if len(log_p) != len(log_q):
-        raise ValueError(
-            f"log_p and log_q must have the same length, got {len(log_p)} and"
-            f" {len(log_q)}"
-        )
-
     reff = compute_reff(inference_data, reff, n_samples)
     log_likelihood = clean_log_likelihood(log_likelihood, context="LOO")
 
@@ -72,27 +64,15 @@ def loo_approximate_posterior(
         valid_methods = ", ".join(m.value for m in ISMethod)
         raise ValueError(f"Invalid method '{method}'. Must be one of: {valid_methods}")
     if method != ISMethod.PSIS:
-        warnings.warn(
-            f"Using {method.value.upper()} for LOO computation. Note that PSIS is the"
-            " recommended method as it is typically more efficient and reliable.",
-            UserWarning,
-            stacklevel=2,
-        )
+        _warn_non_psis(method)
 
     matrix, _, _ = as_sample_matrix(log_likelihood)  # (n_obs, S)
 
-    try:
-        indices = importance_resample(
-            log_p=log_p, log_q=log_q, method=resample_method, seed=seed
-        )
+    log_p, log_q, indices = _validated_resample_indices(
+        log_p, log_q, method=resample_method, seed=seed
+    )
+    if indices is not None:
         matrix = matrix[:, indices]
-    except Exception as e:
-        warnings.warn(
-            f"Importance resampling failed: {str(e)}. Falling back to original"
-            " samples.",
-            UserWarning,
-            stacklevel=2,
-        )
 
     if method == ISMethod.PSIS:
         m_tail = tail_length(n_samples, reff)
@@ -182,6 +162,58 @@ def loo_approximate_posterior(
     result = ELPDData(data=[v for _, v in rows], index=[k for k, _ in rows])
     result.approximate_posterior = {"log_p": log_p, "log_q": log_q}
     return result
+
+
+def _warn_non_psis(method: ISMethod) -> None:
+    """Shared warning for non-PSIS LOO (reference loo_approximate_posterior.py:74-80)."""
+    warnings.warn(
+        f"Using {method.value.upper()} for LOO computation. Note that PSIS is the"
+        " recommended method as it is typically more efficient and reliable.",
+        UserWarning,
+        stacklevel=3,
+    )
+
+
+def _validated_resample_indices(
+    log_p,
+    log_q,
+    method: str = "psis",
+    seed: int | None = None,
+    n_draws: int | None = None,
+):
+    """Validate log_p/log_q and draw resample indices with the shared
+    failure fallback (reference ``loo_approximate_posterior.py:58-96``).
+
+    Returns ``(log_p, log_q, indices)`` with ``indices=None`` when the
+    resample failed (a warning is emitted and callers fall back to the
+    original draws).  Used by both the in-memory and the streaming path so
+    the two cannot drift.
+    """
+    log_p = np.asarray(log_p).ravel()
+    log_q = np.asarray(log_q).ravel()
+    if len(log_p) != len(log_q):
+        raise ValueError(
+            f"log_p and log_q must have the same length, got {len(log_p)} and"
+            f" {len(log_q)}"
+        )
+    if n_draws is not None and len(log_p) != n_draws:
+        raise ValueError(
+            f"log_p/log_q length ({len(log_p)}) must match n_draws"
+            f" ({n_draws})"
+        )
+    try:
+        indices = importance_resample(
+            log_p=log_p, log_q=log_q, method=method, seed=seed
+        )
+    except Exception as e:
+        warnings.warn(
+            f"Importance resampling failed: {str(e)}. Falling back to original"
+            " samples.",
+            UserWarning,
+            stacklevel=3,
+        )
+        indices = None
+    return log_p, log_q, indices
 
 
 def importance_resample(

@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import warnings
 import weakref
+import zlib
 from functools import partial
 
 import jax
@@ -226,6 +227,17 @@ def _mixture_chunk(ll, c, n_obs, carry, adj=None):
 
 
 @jax.jit
+def _gather_cols(ll, idx):
+    """Post-generator draw reindex (importance-resampled columns).
+
+    Applied to the cached generator's output rather than baked into a
+    per-call wrapper closure, so the generator memoization on the user's
+    ``log_lik_fn`` identity stays warm across calls.
+    """
+    return jnp.take(ll, idx, axis=1)
+
+
+@jax.jit
 def _write_chunk(buf, vals, start):
     return jax.lax.dynamic_update_slice(buf, vals, (start,))
 
@@ -262,6 +274,15 @@ def _load_checkpoint(path, geometry):
         return None
     with np.load(path, allow_pickle=False) as z:
         for k, v in geometry.items():
+            # a missing key means the file was written by an older library
+            # version (or a different entry point): same remediation as a
+            # value mismatch, never a raw KeyError
+            if f"geom_{k}" not in z.files:
+                raise ValueError(
+                    f"Checkpoint {path!r} has no recorded {k} (written by an"
+                    f" older version?), but this run has {k}={v}. Delete the"
+                    " file or fix the arguments."
+                )
             got = z[f"geom_{k}"]
             if str(got) != str(np.asarray(v)):
                 raise ValueError(
@@ -298,9 +319,14 @@ def loo_streaming(
     checkpoint_path: str | None = None,
     checkpoint_every: int = 64,
     on_chunk=None,
+    _column_gather=None,
 ):
     """LOO-CV over ``n_obs`` observations whose log-likelihood is computed
     on device by ``log_lik_fn`` — no (n_obs, n_draws) matrix is ever built.
+
+    ``_column_gather`` (internal) is an ``(n_draws,)`` int draw-reindex
+    applied to each generated chunk on device; its CRC is recorded in the
+    checkpoint geometry so a resume with a different reindex is rejected.
 
     Parameters
     ----------
@@ -438,11 +464,21 @@ def loo_streaming(
 
     if checkpoint_path is not None and checkpoint_every < 1:
         raise ValueError("checkpoint_every must be a positive chunk count")
+    col_idx = None
+    if _column_gather is not None:
+        col_idx = jnp.asarray(np.asarray(_column_gather), jnp.int32)
+
     geometry = dict(
         n_obs=n_obs, n_draws=n_draws, chunk_size=chunk_size,
         method=method.value, dtype=str(dtype), pointwise=int(pointwise),
         scale=scale, mixture=int(mixture),
         jacobian=int(jacobian_fn is not None),
+        colgather=(
+            0 if _column_gather is None
+            else zlib.crc32(
+                np.ascontiguousarray(_column_gather, np.int64).tobytes()
+            )
+        ),
     )
 
     jac_gen = None
@@ -469,6 +505,8 @@ def loo_streaming(
     for c in range(start_chunk, n_chunks):
         ci = jnp.asarray(c, jnp.int32)
         ll = gen(ci)
+        if col_idx is not None:
+            ll = _gather_cols(ll, col_idx)
         adj = jac_gen(ci) if jac_gen is not None else None
         if mixture:
             carry, elpd_i, diag = _mixture_chunk(
@@ -588,6 +626,14 @@ def loo_streaming(
         good_k=good_k if mixture or method == ISMethod.PSIS else None,
     )
     result.fast_path_degenerate = n_degenerate
+    if mixture and jac_gen is not None:
+        # parity with loo(): its jacobian block re-derives these rows
+        # unconditionally (loo.py:277-280), appending them to the mixture
+        # layout in this order
+        result["p_loo"] = p_loo
+        result["p_loo_se"] = p_loo_se
+        result["looic"] = looic
+        result["looic_se"] = looic_se
     return result
 
 
@@ -632,6 +678,12 @@ def loo_subsample_streaming(
     arrays change between calls.
 
     Returns ELPDData with the same rows as :func:`pyloo_tpu.loo_subsample`.
+    To support :func:`pyloo_tpu.update_subsample`, the result retains
+    ``log_lik_fn`` (pinning its compiled generator and captured device
+    buffers) and the ``(n_obs,)`` approximation vector — the streaming
+    analogue of the reference storing the full data on the result
+    (``loo_subsample.py:593-605``).  ``del result.estimates.stream``
+    releases both if you will not update.
     """
     from .constants import EstimatorMethod
     from .estimators import (
@@ -1639,65 +1691,41 @@ def loo_approximate_posterior_streaming(
     vectors at the proposal draws.  The draw-level importance resampling
     (:func:`pyloo_tpu.importance_resample`) runs once on the host —
     identical indices to the in-memory path at equal ``seed`` — and the
-    reindex is fused into the chunk generator (each chunk's columns are
-    gathered on device), so the corrected LOO streams with the same
-    O(chunk) memory as :func:`loo_streaming`.  All other options behave as
-    :func:`loo_streaming`; when resuming from ``checkpoint_path``, pass
-    the same ``seed`` so the resampled draw indices match.
+    reindex is applied to each generated chunk on device, *after* the
+    memoized generator, so repeated calls with the same ``log_lik_fn``
+    stay warm.  All other options behave as :func:`loo_streaming`.
+    Checkpointing requires an explicit ``seed`` (the resample must be
+    reproducible on resume); the resampled indices' CRC is recorded in the
+    checkpoint geometry, so a resume whose resample differs is rejected
+    instead of silently mixing two draw sets.
 
     Returns the same :class:`~pyloo_tpu.elpd.ELPDData` as
     :func:`loo_approximate_posterior`, including the
     ``approximate_posterior`` attribute.
     """
-    log_p = np.asarray(log_p).ravel()
-    log_q = np.asarray(log_q).ravel()
-    if len(log_p) != len(log_q):
-        raise ValueError(
-            f"log_p and log_q must have the same length, got {len(log_p)}"
-            f" and {len(log_q)}"
-        )
-    if len(log_p) != n_draws:
-        raise ValueError(
-            f"log_p/log_q length ({len(log_p)}) must match n_draws"
-            f" ({n_draws})"
-        )
+    from .loo_approximate_posterior import (
+        _validated_resample_indices,
+        _warn_non_psis,
+    )
+
     method_is = ISMethod(method.lower() if isinstance(method, str) else method)
     if method_is != ISMethod.PSIS:
-        warnings.warn(
-            f"Using {method_is.value.upper()} for LOO computation. Note that"
-            " PSIS is the recommended method as it is typically more"
-            " efficient and reliable.",
-            UserWarning,
-            stacklevel=2,
+        _warn_non_psis(method_is)
+    if checkpoint_path is not None and seed is None:
+        raise ValueError(
+            "checkpoint_path requires an explicit seed: the draw resample"
+            " must be reproducible for a resumed run to be consistent."
         )
 
-    from .loo_approximate_posterior import importance_resample
-
-    indices = None
-    try:
-        indices = importance_resample(
-            log_p=log_p, log_q=log_q, method=resample_method, seed=seed
-        )
-    except Exception as e:
-        warnings.warn(
-            f"Importance resampling failed: {str(e)}. Falling back to"
-            " original samples.",
-            UserWarning,
-            stacklevel=2,
-        )
-
-    if indices is None:
-        wrapped = log_lik_fn
-    else:
-        idx_dev = jnp.asarray(indices, jnp.int32)
-
-        def wrapped(obs_idx):
-            return jnp.take(log_lik_fn(obs_idx), idx_dev, axis=1)
+    log_p, log_q, indices = _validated_resample_indices(
+        log_p, log_q, method=resample_method, seed=seed, n_draws=n_draws
+    )
 
     result = loo_streaming(
-        wrapped,
+        log_lik_fn,
         n_obs,
         n_draws,
+        _column_gather=indices,
         reff=reff,
         chunk_size=chunk_size,
         pointwise=pointwise,

@@ -1090,3 +1090,106 @@ class TestCompareStreamingWaic:
         f = lambda i: None
         with pytest.raises(ValueError, match="ic must be"):
             pl.loo_compare_streaming({"a": f, "b": f}, 10, 100, ic="kfold")
+
+
+class TestReviewFixes:
+    """Regression tests for the round-3 self-review findings."""
+
+    def test_old_checkpoint_missing_key_gives_value_error(self, tmp_path):
+        import os
+
+        ll = jnp.asarray(np.random.default_rng(1).normal(-1, 0.5, (64, 40)))
+        fn = lambda i: ll[i]
+        ckpt = str(tmp_path / "old.ckpt.npz")
+
+        def die_at_2(c, n):
+            if c == 2:
+                raise RuntimeError("stop")
+
+        with pytest.raises(RuntimeError):
+            pl.loo_streaming(fn, 64, 40, chunk_size=16, checkpoint_path=ckpt,
+                             checkpoint_every=1, on_chunk=die_at_2,
+                             dtype=jnp.float64)
+        # simulate a file written by an older version: strip a geometry key
+        with np.load(ckpt) as z:
+            payload = {k: z[k] for k in z.files if k != "geom_mixture"}
+        np.savez(ckpt, **payload)
+        with pytest.raises(ValueError, match="no recorded mixture"):
+            pl.loo_streaming(fn, 64, 40, chunk_size=16,
+                             checkpoint_path=ckpt, dtype=jnp.float64)
+        os.remove(ckpt)
+
+    def test_approx_streaming_keeps_generator_cache_warm(self):
+        from pyloo_tpu.streaming import _GEN_CACHE
+
+        ll = jnp.asarray(np.random.default_rng(2).normal(-1, 0.5, (48, 60)))
+        fn = lambda i: ll[i]
+        rng = np.random.default_rng(3)
+        log_q = rng.normal(-2, 0.5, size=60)
+        log_p = log_q + rng.normal(0, 0.2, size=60)
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            pl.loo_approximate_posterior_streaming(
+                fn, log_p, log_q, 48, 60, seed=5, chunk_size=16,
+                dtype=jnp.float64,
+            )
+        # the ORIGINAL callable is the memoization key (the draw gather is
+        # applied post-generator), so repeated calls stay warm
+        assert fn in _GEN_CACHE
+
+    def test_approx_streaming_checkpoint_requires_seed(self, tmp_path):
+        fn = lambda i: None
+        with pytest.raises(ValueError, match="requires an explicit seed"):
+            pl.loo_approximate_posterior_streaming(
+                fn, np.zeros(10), np.zeros(10), 20, 10,
+                checkpoint_path=str(tmp_path / "x.npz"),
+            )
+
+    def test_approx_streaming_resume_rejects_different_resample(
+        self, tmp_path
+    ):
+        ll = jnp.asarray(np.random.default_rng(4).normal(-1, 0.5, (64, 50)))
+        fn = lambda i: ll[i]
+        rng = np.random.default_rng(5)
+        log_q = rng.normal(-2, 0.5, size=50)
+        log_p = log_q + rng.normal(0, 0.2, size=50)
+        ckpt = str(tmp_path / "ap.ckpt.npz")
+
+        def die_at_2(c, n):
+            if c == 2:
+                raise RuntimeError("stop")
+
+        with pytest.raises(RuntimeError), warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            pl.loo_approximate_posterior_streaming(
+                fn, log_p, log_q, 64, 50, seed=7, chunk_size=16,
+                checkpoint_path=ckpt, checkpoint_every=1, on_chunk=die_at_2,
+                dtype=jnp.float64,
+            )
+        with pytest.raises(ValueError, match="colgather"), \
+                warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            pl.loo_approximate_posterior_streaming(
+                fn, log_p, log_q, 64, 50, seed=8, chunk_size=16,
+                checkpoint_path=ckpt, dtype=jnp.float64,
+            )
+
+    def test_mixture_jacobian_row_layout_matches_loo(self):
+        rng = np.random.default_rng(6)
+        B, S = 40, 80
+        ll = rng.normal(-1.0, 0.5, size=(B, S))
+        jac = rng.normal(0, 0.2, size=B)
+        idata = pl.from_dict(log_likelihood={"obs": ll.T[None]})
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            ref = pl.loo(idata, reff=1.0, pointwise=True, mixture=True,
+                         jacobian=jac)
+            llj, jj = jnp.asarray(ll), jnp.asarray(jac)
+            got = pl.loo_streaming(
+                lambda i: llj[i], B, S, pointwise=True, mixture=True,
+                jacobian_fn=lambda i: jj[i], chunk_size=16,
+                dtype=jnp.float64,
+            )
+        assert list(got.index) == list(ref.index)
+        for key in ("p_loo", "p_loo_se", "looic", "looic_se"):
+            assert_allclose(got[key], ref[key], rtol=1e-9, err_msg=key)

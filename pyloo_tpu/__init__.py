@@ -54,6 +54,12 @@ from .loo_kfold import (
 )
 from .reloo import reloo
 from .models import ADVI, JAXModelWrapper, Laplace, Model
+
+# Name-compat alias: reference code imports `PyMCWrapper` (reference
+# pyloo/__init__.py:70); its role here is filled by JAXModelWrapper over a
+# functional JAX Model.  Passing an actual PyMC model raises a TypeError
+# explaining the port (PyTensor graphs cannot run on TPU).
+PyMCWrapper = JAXModelWrapper
 from .loo_nonfactor import loo_nonfactor
 from .plots import (
     influence_plot,
@@ -116,6 +122,7 @@ __all__ = [
     "_kfold_split_grouped",
     "reloo",
     "JAXModelWrapper",
+    "PyMCWrapper",
     "Model",
     "Laplace",
     "ADVI",

@@ -273,6 +273,15 @@ class JAXModelWrapper:
 
     def __init__(self, model: Model, idata: InferenceData | None = None, *,
                  sample_kwargs: dict | None = None):
+        if not isinstance(model, Model):
+            raise TypeError(
+                "JAXModelWrapper requires a pyloo_tpu Model (pure jittable"
+                " logp/log_lik functions), got"
+                f" {type(model).__module__}.{type(model).__name__}. PyTensor"
+                "/PyMC graphs cannot run on TPU — port the model's logp to a"
+                " jittable function (see pyloo_tpu.models.examples for"
+                " templates)."
+            )
         self.model = model
         self.idata = idata
         self.sample_kwargs = dict(sample_kwargs or {})

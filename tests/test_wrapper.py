@@ -216,3 +216,13 @@ class TestWrapperSampling:
                 pass
         assert_allclose(bad.get_observed_data(), before)
         assert bad.n_obs == 20
+
+
+def test_pymcwrapper_alias_and_type_error():
+    """Reference name-compat: `PyMCWrapper` resolves to JAXModelWrapper and
+    rejects non-Model objects with a porting hint."""
+    import pyloo_tpu as pl
+
+    assert pl.PyMCWrapper is pl.JAXModelWrapper
+    with pytest.raises(TypeError, match="jittable"):
+        pl.PyMCWrapper(object())

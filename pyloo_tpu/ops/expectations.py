@@ -115,6 +115,13 @@ def _tail_khat(values, tail_len):
     this implementation computes the intended diagnostic.
     """
     B = values.shape[0]
+    # with fewer draws than the nominal tail, use every draw above the row
+    # minimum (the reference's ``sorted[:tail_len]`` slice semantics,
+    # e_loo.py:352,371-372); rows left with < 5 positive exceedances still
+    # return inf below
+    tail_len = min(tail_len, values.shape[1] - 1)
+    if tail_len < 1:
+        return jnp.full((B,), jnp.inf, values.dtype)
     vals, _ = jax.lax.top_k(values, tail_len + 1)  # descending
     cutoff = vals[:, tail_len]
     tail = vals[:, :tail_len]

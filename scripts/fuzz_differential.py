@@ -1,0 +1,152 @@
+"""Randomized differential fuzz: streaming/compact surfaces vs in-memory oracles.
+
+Every trial draws a random shape (B, S), chunk size, reff, and log-likelihood
+distribution (normal / heavy-tailed t / exponential / rounded ties /
+constant rows / bimodal), then checks:
+
+- ``loo_streaming`` == ``loo`` (elpd, pointwise, pareto_k incl. inf-k
+  placement) at 1e-8,
+- ``psislw_compact().densify()`` == ``psislw`` at 1e-10,
+- ``waic_streaming`` == ``waic`` at 1e-8,
+- ``e_loo_streaming`` (mean/sd) == ``e_loo`` at 1e-7,
+- ``loo_group_streaming`` == ``loo_group`` at 1e-9.
+
+Run: ``python scripts/fuzz_differential.py [trials] [seed]`` (defaults 40).
+Exit code 1 on any mismatch.  This is a verification harness, not part of
+the test suite — the suite pins fixed seeds; this sweeps random ones.
+"""
+
+import sys
+import warnings
+
+sys.path.insert(0, ".")
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
+import jax.numpy as jnp
+import numpy as np
+
+import pyloo_tpu as pl
+from pyloo_tpu.containers import DataArray as DA
+
+
+def gen_ll(rng, dist, B, S):
+    if dist == "normal":
+        return rng.normal(-1, rng.uniform(0.1, 2), size=(B, S))
+    if dist == "t":
+        return -np.abs(rng.standard_t(df=rng.uniform(1.1, 5), size=(B, S)))
+    if dist == "exp":
+        return -rng.exponential(rng.uniform(0.5, 3), size=(B, S))
+    if dist == "ties":
+        return np.round(rng.normal(-1, 1, size=(B, S)), 1)
+    if dist == "const-rows":
+        ll = np.tile(rng.normal(-1, 1, size=(B, 1)), (1, S))
+        ll[: B // 2] = rng.normal(-1, 1, size=(B // 2, S))
+        return ll
+    return np.where(
+        rng.random((B, S)) < 0.5,
+        rng.normal(-3, 0.3, size=(B, S)),
+        rng.normal(-0.5, 0.3, size=(B, S)),
+    )
+
+
+def main(trials=40, seed=20260818):
+    warnings.simplefilter("ignore")
+    rng = np.random.default_rng(seed)
+    dists = ["normal", "t", "exp", "ties", "const-rows", "bimodal"]
+    fails = 0
+    for trial in range(trials):
+        B = int(rng.integers(5, 120))
+        S = int(rng.integers(8, 600))
+        dist = dists[int(rng.integers(len(dists)))]
+        ll = gen_ll(rng, dist, B, S)
+        reff = float(rng.uniform(0.3, 1.0))
+        chunk = int(rng.integers(4, B + 32))
+        tag = f"trial {trial} dist={dist} B={B} S={S} reff={reff:.2f} chunk={chunk}"
+        llj = jnp.asarray(ll)
+        ll_fn = lambda i: llj[i]  # noqa: B023
+        idata = pl.from_dict(log_likelihood={"obs": ll.T[None]})
+
+        try:
+            ref = pl.loo(idata, reff=reff, pointwise=True)
+            got = pl.loo_streaming(
+                ll_fn, B, S, reff=reff, chunk_size=chunk, pointwise=True,
+                dtype=jnp.float64,
+            )
+            np.testing.assert_allclose(
+                got["elpd_loo"], ref["elpd_loo"], rtol=1e-9
+            )
+            np.testing.assert_allclose(
+                got.loo_i.values, np.asarray(ref.loo_i.values).ravel(),
+                rtol=1e-8, atol=1e-12,
+            )
+            kr = np.asarray(ref.pareto_k.values).ravel()
+            kg = got.pareto_k.values
+            mask = np.isfinite(kr)
+            np.testing.assert_allclose(
+                kg[mask], kr[mask], rtol=1e-6, atol=1e-9
+            )
+            assert np.array_equal(np.isfinite(kg), mask)
+
+            cw = pl.psislw_compact(-ll, reff=reff)
+            lw, _ = pl.psislw(-ll, reff=reff)
+            np.testing.assert_allclose(
+                np.asarray(cw.densify(-ll)), np.asarray(lw),
+                rtol=1e-10, atol=1e-12,
+            )
+
+            r = pl.waic_streaming(
+                ll_fn, B, S, chunk_size=chunk, dtype=jnp.float64,
+                pointwise=True,
+            )
+            wref = pl.waic(idata, pointwise=True)
+            np.testing.assert_allclose(
+                r["elpd_waic"], wref["elpd_waic"], rtol=1e-9
+            )
+            np.testing.assert_allclose(
+                r.waic_i.values, np.asarray(wref.waic_i.values).ravel(),
+                rtol=1e-8,
+            )
+
+            x = rng.normal(0, 1, size=(B, S))
+            xj = jnp.asarray(x)
+            lwm, _ = pl.psislw(-ll)
+            for kind in ("mean", "sd"):
+                er = pl.e_loo_streaming(
+                    ll_fn, lambda i: xj[i], B, S, type=kind,  # noqa: B023
+                    chunk_size=chunk, dtype=jnp.float64,
+                )
+                eref = pl.e_loo(
+                    DA(x, ("obs", "__sample__")),
+                    log_weights=DA(np.asarray(lwm), ("obs", "__sample__")),
+                    log_ratios=DA(-ll, ("obs", "__sample__")),
+                    type=kind,
+                )
+                np.testing.assert_allclose(
+                    np.asarray(er.value.values).ravel(),
+                    np.asarray(eref.value.values).ravel(),
+                    rtol=1e-7, atol=1e-10,
+                )
+
+            gids = rng.integers(0, max(2, B // 6), size=B)
+            gr = pl.loo_group_streaming(
+                ll_fn, gids, B, S, chunk_size=chunk, dtype=jnp.float64
+            )
+            gref = pl.loo_group(idata, gids, reff=1.0)
+            np.testing.assert_allclose(
+                gr["elpd_logo"], gref["elpd_logo"], rtol=1e-9
+            )
+        except AssertionError as e:
+            fails += 1
+            print(f"FAIL {tag}\n{str(e)[:400]}")
+    print(f"fuzz done: {trials} trials, {fails} failures")
+    return 1 if fails else 0
+
+
+if __name__ == "__main__":
+    trials = int(sys.argv[1]) if len(sys.argv) > 1 else 40
+    seed = int(sys.argv[2]) if len(sys.argv) > 2 else 20260818
+    sys.exit(main(trials, seed))

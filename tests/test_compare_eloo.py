@@ -352,3 +352,40 @@ class TestELooBreadth:
         r_w = pl.e_loo(values, weights=w_da, type="mean")
         r_lw = pl.e_loo(values, log_weights=lw, type="mean")
         assert_allclose(r_w.value.values, r_lw.value.values, rtol=1e-10)
+
+
+def test_khat_short_draws_regression():
+    """S < tail_len must use every available draw (reference e_loo.py:352
+    slice semantics), not crash in top_k; S too short for 5 positive
+    exceedances returns inf.  Found by scripts/fuzz_differential.py."""
+    import warnings
+
+    import jax.numpy as jnp
+
+    import pyloo_tpu as pl
+    from pyloo_tpu.containers import DataArray as DA
+
+    rng = np.random.default_rng(0)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        for S, expect_finite in ((2, False), (5, False), (9, True)):
+            ll = rng.normal(-1, 1, size=(11, S))
+            x = rng.normal(0, 1, size=(11, S))
+            lw, _ = pl.psislw(-ll)
+            r = pl.e_loo(
+                DA(x, ("obs", "__sample__")),
+                log_weights=DA(np.asarray(lw), ("obs", "__sample__")),
+                log_ratios=DA(-ll, ("obs", "__sample__")),
+                type="mean",
+            )
+            ks = np.asarray(r.pareto_k.values)
+            assert np.isfinite(ks).all() == expect_finite, (S, ks)
+            llj, xj = jnp.asarray(ll), jnp.asarray(x)
+            rs = pl.e_loo_streaming(
+                lambda i: llj[i], lambda i: xj[i], 11, S, type="mean",
+                chunk_size=8, dtype=jnp.float64,
+            )
+            np.testing.assert_allclose(
+                rs.value.values, np.asarray(r.value.values).ravel(),
+                rtol=1e-9,
+            )

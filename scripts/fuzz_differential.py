@@ -59,6 +59,12 @@ def main(trials=40, seed=20260818):
     dists = ["normal", "t", "exp", "ties", "const-rows", "bimodal"]
     fails = 0
     for trial in range(trials):
+        if trial and trial % 5 == 0:
+            # every trial compiles fresh shapes; XLA:CPU dies with an LLVM
+            # "Cannot allocate memory" once hundreds of executables are live
+            # (same hazard tests/conftest.py guards per-module)
+            jax.clear_caches()
+            pl.clear_streaming_cache()
         B = int(rng.integers(5, 120))
         S = int(rng.integers(8, 600))
         dist = dists[int(rng.integers(len(dists)))]

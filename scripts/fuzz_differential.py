@@ -152,7 +152,68 @@ def main(trials=40, seed=20260818):
     return 1 if fails else 0
 
 
+def fuzz_nonfactor(trials=12, seed=4242):
+    """Randomized MVN nonfactor check vs the brute-force partitioned-normal
+    oracle (per draw, per observation), including near-singular covariances."""
+    from scipy import stats
+
+    warnings.simplefilter("ignore")
+    rng = np.random.default_rng(seed)
+    fails = 0
+    for trial in range(trials):
+        if trial and trial % 4 == 0:
+            jax.clear_caches()
+        N = int(rng.integers(4, 26))
+        C, T = 1, int(rng.integers(5, 30))
+        spread = rng.uniform(0.1, 1.0)
+        A = rng.normal(size=(N, N)) * spread
+        base = A @ A.T + rng.uniform(0.05, 1.0) * np.eye(N)
+        mu0 = rng.normal(size=N)
+        y = rng.multivariate_normal(mu0, base)
+        mus = mu0[None, None, :] + rng.normal(0, 0.05, size=(C, T, N))
+        covs = np.empty((C, T, N, N))
+        for t in range(T):
+            j = rng.normal(0, 0.01, size=(N, N))
+            covs[0, t] = base + (j + j.T) / 2 + 0.01 * np.eye(N)
+        idata = pl.from_dict(
+            posterior={"mu": mus, "cov": covs}, observed_data={"y": y}
+        )
+        res = pl.loo_nonfactor(idata, pointwise=True)
+        # oracle: elpd_i from brute-force conditionals + public psislw
+        ll = np.empty((N, T))
+        for t in range(T):
+            mu_t, cov_t = mus[0, t], covs[0, t]
+            for i in range(N):
+                keep = np.delete(np.arange(N), i)
+                c22i = np.linalg.inv(cov_t[np.ix_(keep, keep)])
+                c12 = cov_t[np.ix_([i], keep)]
+                m = mu_t[i] + (c12 @ c22i @ (y[keep] - mu_t[keep]))[0]
+                v = cov_t[i, i] - (c12 @ c22i @ c12.T)[0, 0]
+                ll[i, t] = stats.norm.logpdf(y[i], m, np.sqrt(v))
+        lw, _ = pl.psislw(-ll, reff=1.0)
+        lw = np.asarray(lw)
+        elpd_i = np.array(
+            [np.logaddexp.reduce(lw[i] + ll[i]) for i in range(N)]
+        )
+        try:
+            np.testing.assert_allclose(
+                np.asarray(res.loo_i.values).ravel(), elpd_i,
+                rtol=1e-6, atol=1e-9,
+            )
+        except AssertionError as e:
+            fails += 1
+            print(f"NONFACTOR FAIL trial={trial} N={N} T={T}: {str(e)[:300]}")
+    print(f"nonfactor fuzz done: {trials} trials, {fails} failures")
+    return 1 if fails else 0
+
+
 if __name__ == "__main__":
     trials = int(sys.argv[1]) if len(sys.argv) > 1 else 40
     seed = int(sys.argv[2]) if len(sys.argv) > 2 else 20260818
-    sys.exit(main(trials, seed))
+    mode = sys.argv[3] if len(sys.argv) > 3 else "streaming"
+    rc = 0
+    if mode in ("streaming", "all"):
+        rc |= main(trials, seed)
+    if mode in ("nonfactor", "all"):
+        rc |= fuzz_nonfactor(max(trials // 3, 4), seed)
+    sys.exit(rc)

@@ -207,6 +207,56 @@ def fuzz_nonfactor(trials=12, seed=4242):
     return 1 if fails else 0
 
 
+def fuzz_fast32(trials=20, seed=999):
+    """float32 fast path vs float64 exact path at loose tolerance.
+
+    The fast path is a different kernel family (compact scatter-free PSIS);
+    this sweeps random shapes/distributions checking it stays within
+    float32-roundoff distance of the exact answer and never crashes.
+    """
+    warnings.simplefilter("ignore")
+    rng = np.random.default_rng(seed)
+    dists = ["normal", "t", "exp", "ties", "bimodal"]
+    fails = 0
+    for trial in range(trials):
+        if trial and trial % 5 == 0:
+            jax.clear_caches()
+            pl.clear_streaming_cache()
+        B = int(rng.integers(5, 160))
+        S = int(rng.integers(8, 900))
+        dist = dists[int(rng.integers(len(dists)))]
+        ll = gen_ll(rng, dist, B, S)
+        chunk = int(rng.integers(4, B + 32))
+        llj64 = jnp.asarray(ll)
+        llj32 = jnp.asarray(ll, jnp.float32)
+        try:
+            exact = pl.loo_streaming(
+                lambda i: llj64[i], B, S, chunk_size=chunk,  # noqa: B023
+                pointwise=True, dtype=jnp.float64,
+            )
+            fast = pl.loo_streaming(
+                lambda i: llj32[i], B, S, chunk_size=chunk,  # noqa: B023
+                pointwise=True, dtype=jnp.float32,
+            )
+            scale = max(abs(float(exact["elpd_loo"])), 1.0)
+            diff = abs(float(fast["elpd_loo"]) - float(exact["elpd_loo"]))
+            assert diff / scale < 2e-3, (
+                f"elpd diff {diff:.3g} vs scale {scale:.3g}"
+            )
+            ke = np.asarray(exact.pareto_k.values)
+            kf = np.asarray(fast.pareto_k.values)
+            m = np.isfinite(ke) & np.isfinite(kf)
+            if m.any():
+                assert np.max(np.abs(ke[m] - kf[m])) < 0.08, (
+                    f"k diff {np.max(np.abs(ke[m] - kf[m])):.3g}"
+                )
+        except AssertionError as e:
+            fails += 1
+            print(f"FAST32 FAIL trial={trial} dist={dist} B={B} S={S}: {e}")
+    print(f"fast32 fuzz done: {trials} trials, {fails} failures")
+    return 1 if fails else 0
+
+
 if __name__ == "__main__":
     trials = int(sys.argv[1]) if len(sys.argv) > 1 else 40
     seed = int(sys.argv[2]) if len(sys.argv) > 2 else 20260818
@@ -216,4 +266,6 @@ if __name__ == "__main__":
         rc |= main(trials, seed)
     if mode in ("nonfactor", "all"):
         rc |= fuzz_nonfactor(max(trials // 3, 4), seed)
+    if mode in ("fast32", "all"):
+        rc |= fuzz_fast32(trials, seed)
     sys.exit(rc)

@@ -257,6 +257,47 @@ def fuzz_fast32(trials=20, seed=999):
     return 1 if fails else 0
 
 
+def fuzz_subsample(trials=15, seed=77):
+    """Streamed subsampled LOO vs in-memory loo_subsample on identical fixed
+    index sets, across random shapes and all three survey estimators."""
+    warnings.simplefilter("ignore")
+    rng = np.random.default_rng(seed)
+    ests = ["diff_srs", "srs", "hh_pps"]
+    fails = 0
+    for trial in range(trials):
+        if trial and trial % 5 == 0:
+            jax.clear_caches()
+            pl.clear_streaming_cache()
+        B = int(rng.integers(40, 400))
+        S = int(rng.integers(10, 300))
+        ll = gen_ll(rng, ["normal", "t", "exp"][int(rng.integers(3))], B, S)
+        m = int(rng.integers(5, max(6, B // 2)))
+        idx = np.sort(rng.choice(B, size=m, replace=False))
+        est = ests[int(rng.integers(3))]
+        llj = jnp.asarray(ll)
+        idata = pl.from_dict(log_likelihood={"obs": ll.T[None]})
+        try:
+            got = pl.loo_subsample_streaming(
+                lambda i: llj[i], B, S, observations=idx,  # noqa: B023
+                estimator=est, dtype=jnp.float64,
+            )
+            ref = pl.loo_subsample(
+                idata, observations=idx, estimator=est,
+                loo_approximation="lpd", reff=1.0,
+            )
+            for key in ("elpd_loo", "se", "subsampling_SE", "p_loo"):
+                np.testing.assert_allclose(
+                    got[key], ref[key], rtol=1e-8, atol=1e-10,
+                    err_msg=key,
+                )
+        except AssertionError as e:
+            fails += 1
+            print(f"SUBSAMPLE FAIL trial={trial} est={est} B={B} S={S}"
+                  f" m={m}: {str(e)[:300]}")
+    print(f"subsample fuzz done: {trials} trials, {fails} failures")
+    return 1 if fails else 0
+
+
 if __name__ == "__main__":
     trials = int(sys.argv[1]) if len(sys.argv) > 1 else 40
     seed = int(sys.argv[2]) if len(sys.argv) > 2 else 20260818
@@ -268,4 +309,6 @@ if __name__ == "__main__":
         rc |= fuzz_nonfactor(max(trials // 3, 4), seed)
     if mode in ("fast32", "all"):
         rc |= fuzz_fast32(trials, seed)
+    if mode in ("subsample", "all"):
+        rc |= fuzz_subsample(trials, seed)
     sys.exit(rc)

@@ -298,6 +298,53 @@ def fuzz_subsample(trials=15, seed=77):
     return 1 if fails else 0
 
 
+def fuzz_mesh(trials=10, seed=55):
+    """Random shapes through the obs-sharded mesh (all local devices) vs the
+    unsharded path.  Run with XLA_FLAGS=--xla_force_host_platform_device_count=8
+    for a virtual multi-device mesh."""
+    from jax.sharding import Mesh
+
+    warnings.simplefilter("ignore")
+    devs = jax.devices()
+    if len(devs) < 2:
+        print("mesh fuzz skipped: single device (set XLA_FLAGS="
+              "--xla_force_host_platform_device_count=8)")
+        return 0
+    mesh = Mesh(np.asarray(devs), axis_names=("obs",))
+    rng = np.random.default_rng(seed)
+    fails = 0
+    for trial in range(trials):
+        if trial and trial % 4 == 0:
+            jax.clear_caches()
+            pl.clear_streaming_cache()
+        B = int(rng.integers(9, 300))
+        S = int(rng.integers(8, 500))
+        ll = gen_ll(rng, ["normal", "t", "ties"][int(rng.integers(3))], B, S)
+        chunk = int(rng.integers(8, B + 64))
+        llj = jnp.asarray(ll)
+        try:
+            sharded = pl.loo_streaming(
+                lambda i: llj[i], B, S, chunk_size=chunk,  # noqa: B023
+                pointwise=True, mesh=mesh, dtype=jnp.float64,
+            )
+            plain = pl.loo_streaming(
+                lambda i: llj[i], B, S, chunk_size=chunk,  # noqa: B023
+                pointwise=True, dtype=jnp.float64,
+            )
+            np.testing.assert_allclose(
+                sharded["elpd_loo"], plain["elpd_loo"], rtol=1e-12
+            )
+            np.testing.assert_allclose(
+                sharded.loo_i.values, plain.loo_i.values, rtol=1e-11
+            )
+        except AssertionError as e:
+            fails += 1
+            print(f"MESH FAIL trial={trial} B={B} S={S} chunk={chunk}:"
+                  f" {str(e)[:300]}")
+    print(f"mesh fuzz done: {trials} trials, {fails} failures")
+    return 1 if fails else 0
+
+
 if __name__ == "__main__":
     trials = int(sys.argv[1]) if len(sys.argv) > 1 else 40
     seed = int(sys.argv[2]) if len(sys.argv) > 2 else 20260818
@@ -311,4 +358,6 @@ if __name__ == "__main__":
         rc |= fuzz_fast32(trials, seed)
     if mode in ("subsample", "all"):
         rc |= fuzz_subsample(trials, seed)
+    if mode in ("mesh", "all"):
+        rc |= fuzz_mesh(max(trials // 3, 4), seed)
     sys.exit(rc)

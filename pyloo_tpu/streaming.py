@@ -242,6 +242,16 @@ def _write_chunk(buf, vals, start):
     return jax.lax.dynamic_update_slice(buf, vals, (start,))
 
 
+# Checkpoint file format version.  Bump when the payload layout changes
+# incompatibly; extend ``_COMPATIBLE_CHECKPOINT_VERSIONS`` (with a migration
+# in ``_load_checkpoint`` if needed) to keep older files resumable.
+# Version history:
+#   0 — pre-versioning files (no ``format_version`` entry); same layout as 1.
+#   1 — explicit version stamp added.
+CHECKPOINT_FORMAT_VERSION = 1
+_COMPATIBLE_CHECKPOINT_VERSIONS = frozenset({0, 1})
+
+
 def _save_checkpoint(path, geometry, chunk, carry, buf_e, buf_d):
     """Atomically persist the streaming state (SURVEY §5 checkpoint/resume).
 
@@ -254,6 +264,7 @@ def _save_checkpoint(path, geometry, chunk, carry, buf_e, buf_d):
     host_carry = jax.device_get(carry)
     payload = {f"carry_{k}": np.asarray(v) for k, v in host_carry.items()}
     payload["chunk"] = np.asarray(chunk)
+    payload["format_version"] = np.asarray(CHECKPOINT_FORMAT_VERSION)
     for k, v in geometry.items():
         payload[f"geom_{k}"] = np.asarray(v)
     if buf_e is not None:
@@ -273,6 +284,23 @@ def _load_checkpoint(path, geometry):
     if not os.path.exists(path):
         return None
     with np.load(path, allow_pickle=False) as z:
+        # files written before CHECKPOINT_FORMAT_VERSION existed carry no
+        # stamp; their layout is identical to version 1, so they load as
+        # version 0
+        version = int(z["format_version"]) if "format_version" in z.files \
+            else 0
+        if version not in _COMPATIBLE_CHECKPOINT_VERSIONS:
+            if version > CHECKPOINT_FORMAT_VERSION:
+                raise ValueError(
+                    f"Checkpoint {path!r} has format version {version}, newer"
+                    f" than this library's {CHECKPOINT_FORMAT_VERSION}."
+                    " Upgrade pyloo_tpu, or delete the file to restart."
+                )
+            raise ValueError(
+                f"Checkpoint {path!r} has unsupported format version"
+                f" {version} and no migration is available. Delete the file"
+                " to restart from chunk 0."
+            )
         for k, v in geometry.items():
             # a missing key means the file was written by an older library
             # version (or a different entry point): same remediation as a
@@ -379,7 +407,9 @@ def loo_streaming(
         the run RESUMES from the saved chunk — preemption-safe
         billion-observation sweeps.  Each save synchronizes the pipeline,
         so size ``checkpoint_every`` to several seconds of work.  The file
-        is removed on successful completion.
+        is removed on successful completion.  Files are stamped with
+        ``CHECKPOINT_FORMAT_VERSION``; incompatible versions raise a
+        ``ValueError`` naming the remedy instead of resuming silently.
     checkpoint_every : int
         Chunks between checkpoint saves (default 64).
     on_chunk : callable, optional

@@ -1119,6 +1119,43 @@ class TestReviewFixes:
                              checkpoint_path=ckpt, dtype=jnp.float64)
         os.remove(ckpt)
 
+    def test_checkpoint_format_version_stamped_and_checked(self, tmp_path):
+        import os
+
+        from pyloo_tpu.streaming import CHECKPOINT_FORMAT_VERSION
+
+        ll = jnp.asarray(np.random.default_rng(7).normal(-1, 0.5, (64, 40)))
+        fn = lambda i: ll[i]
+        ckpt = str(tmp_path / "ver.ckpt.npz")
+
+        def die_at_2(c, n):
+            if c == 2:
+                raise RuntimeError("stop")
+
+        with pytest.raises(RuntimeError):
+            pl.loo_streaming(fn, 64, 40, chunk_size=16, checkpoint_path=ckpt,
+                             checkpoint_every=1, on_chunk=die_at_2,
+                             dtype=jnp.float64)
+        with np.load(ckpt) as z:
+            assert int(z["format_version"]) == CHECKPOINT_FORMAT_VERSION
+            payload = {k: z[k] for k in z.files}
+
+        # a version-0 file (no stamp, same layout) still resumes
+        np.savez(ckpt, **{k: v for k, v in payload.items()
+                          if k != "format_version"})
+        res_v0 = pl.loo_streaming(fn, 64, 40, chunk_size=16,
+                                  checkpoint_path=ckpt, dtype=jnp.float64)
+        ref = pl.loo_streaming(fn, 64, 40, chunk_size=16, dtype=jnp.float64)
+        assert_allclose(res_v0["elpd_loo"], ref["elpd_loo"], rtol=1e-12)
+
+        # a future version is rejected with the upgrade remedy
+        payload["format_version"] = np.asarray(CHECKPOINT_FORMAT_VERSION + 1)
+        np.savez(ckpt, **payload)
+        with pytest.raises(ValueError, match="newer"):
+            pl.loo_streaming(fn, 64, 40, chunk_size=16,
+                             checkpoint_path=ckpt, dtype=jnp.float64)
+        os.remove(ckpt)
+
     def test_approx_streaming_keeps_generator_cache_warm(self):
         from pyloo_tpu.streaming import _GEN_CACHE
 

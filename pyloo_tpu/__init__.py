@@ -72,6 +72,7 @@ from .plots import (
 from .loo_predictive_metric import MetricResult, loo_predictive_metric
 from .loo_score import LooScoreResult, loo_score
 from .loo_subsample import loo_subsample, update_subsample
+from .io import NpyLogLik, loo_from_file, waic_from_file
 from .streaming import (
     clear_streaming_cache,
     e_loo_streaming,
@@ -104,6 +105,9 @@ __all__ = [
     "loo_compare",
     "clear_streaming_cache",
     "e_loo_streaming",
+    "NpyLogLik",
+    "loo_from_file",
+    "waic_from_file",
     "loo_streaming",
     "loo_subsample",
     "loo_subsample_streaming",

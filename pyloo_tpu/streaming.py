@@ -86,6 +86,37 @@ def clear_streaming_cache(log_lik_fn=None) -> None:
         _GEN_CACHE.pop(log_lik_fn, None)
 
 
+def _is_chunk_source(obj) -> bool:
+    """Disk-backed chunk sources (e.g. :class:`pyloo_tpu.io.NpyLogLik`)."""
+    return not callable(obj) and hasattr(obj, "read_rows")
+
+
+def _source_program(src, chunk_size, n_obs, dtype_str, sharding):
+    """Host-side chunk generator over a disk-backed source.
+
+    Same contract as the jitted generator: ``gen(c) -> (chunk, n_draws)``
+    device array for chunk index ``c``, tail rows padded (the accumulators
+    mask them).  The read happens on the host — overlapped with the device's
+    previous chunk by the source's prefetcher — and ships via one
+    ``device_put`` per chunk.
+    """
+    if n_obs > src.n_obs:
+        raise ValueError(
+            f"n_obs ({n_obs}) exceeds the {src.n_obs} rows in the chunk"
+            " source"
+        )
+    dtype = jnp.dtype(dtype_str)
+
+    def gen(c):
+        arr = src.read_rows(int(c) * chunk_size, chunk_size)
+        arr = arr.astype(dtype, copy=False)
+        if sharding is not None:
+            return jax.device_put(arr, sharding)
+        return jax.device_put(arr)
+
+    return gen
+
+
 def _gen_program(log_lik_fn, chunk_size, n_obs, dtype_str, sharding):
     """Jitted chunk generator, memoized on the user's function object.
 
@@ -97,6 +128,10 @@ def _gen_program(log_lik_fn, chunk_size, n_obs, dtype_str, sharding):
     :func:`clear_streaming_cache`.  Callables that cannot be weak-referenced
     (e.g. bound methods) are simply not cached.
     """
+    if _is_chunk_source(log_lik_fn):
+        return _source_program(
+            log_lik_fn, chunk_size, n_obs, dtype_str, sharding
+        )
     geom_key = (chunk_size, n_obs, dtype_str, sharding)
     try:
         per_fn = _GEN_CACHE.get(log_lik_fn)
@@ -805,11 +840,17 @@ def loo_subsample_streaming(
             rng=rng,
         )
 
-    # -- exact PSIS-LOO on the m sampled rows (one generator call) ----------
-    ll_sample = np.asarray(
-        jax.device_get(log_lik_fn(jnp.asarray(indices.idx, jnp.int32))),
-        np.float64,
-    )
+    # -- exact PSIS-LOO on the m sampled rows (one generator call; disk
+    # sources serve the scattered indices through their random-access path)
+    if _is_chunk_source(log_lik_fn):
+        ll_sample = np.asarray(
+            log_lik_fn.gather_rows(np.asarray(indices.idx)), np.float64
+        )
+    else:
+        ll_sample = np.asarray(
+            jax.device_get(log_lik_fn(jnp.asarray(indices.idx, jnp.int32))),
+            np.float64,
+        )
     m_tail = tail_length(n_draws, reff)
     elpd_sample, diagnostic, _ = loo_scores_psis(
         jnp.asarray(ll_sample), m_tail

@@ -32,6 +32,7 @@ from .elpd import ELPDData
 from .loo import loo
 from .loo_approximate_posterior import importance_resample, loo_approximate_posterior
 from .loo_group import loo_group
+from .loo_lfo import loo_lfo
 from .loo_i import loo_i
 from .helpers import (
     ParameterConverter,
@@ -119,6 +120,7 @@ __all__ = [
     "loo_approximate_posterior_streaming",
     "update_subsample",
     "loo_group",
+    "loo_lfo",
     "loo_i",
     "loo_kfold",
     "_kfold_split_random",

@@ -72,6 +72,15 @@ p_kfold       {p_kfold:<8.2f}    {p_kfold_se:<.2f}
 kfoldic      {kfoldic:<8.2f}    {kfoldic_se:<.2f}
 """
 
+# LFO-CV is a pyloo_tpu extension (no reference analogue); template follows
+# the house style of the other result kinds.
+LFO_BASE_FMT = """
+Computed from {n_samples} posterior samples: {n_targets} {M}-step-ahead predictions with history >= {L} observations ({n_refits} exact refits).
+
+         Estimate       SE
+elpd_lfo   {elpd:<8.2f}    {se:<.2f}
+lfoic      {lfoic:<8.2f}    {lfoic_se:<.2f}"""
+
 LOGO_BASE_FMT = """
 Computed from {n_samples} posterior samples and {n_groups} groups log-likelihood matrix.
 
@@ -165,13 +174,15 @@ class ELPDData(pd.Series):
 
     def __str__(self):
         kind = self.index[0].split("_")[1]
-        if kind not in ("loo", "waic", "kfold", "logo"):
+        if kind not in ("loo", "waic", "kfold", "logo", "lfo"):
             raise ValueError("Invalid ELPDData object")
 
         if kind == "kfold":
             return self._format_kfold()
         if kind == "logo":
             return self._format_logo()
+        if kind == "lfo":
+            return self._format_lfo()
         if "subsampling_SE" in self:
             return self._format_subsample()
         if kind == "waic":
@@ -214,6 +225,24 @@ class ELPDData(pd.Series):
             p_logo_se=self.get("p_logo_se", float("nan")),
             logoic=self["logoic"],
             logoic_se=self["logoic_se"],
+        )
+        if self.warning:
+            base += _WARNING_NOTE
+        section, _ = _pareto_section(self)
+        base += section
+        return base
+
+    def _format_lfo(self):
+        base = LFO_BASE_FMT.format(
+            n_samples=self.n_samples,
+            n_targets=self.n_data_points,
+            M=self.get("M", 1),
+            L=self.get("L", "?"),
+            n_refits=self.get("n_refits", 0),
+            elpd=self["elpd_lfo"],
+            se=self["se"],
+            lfoic=self["lfoic"],
+            lfoic_se=self["lfoic_se"],
         )
         if self.warning:
             base += _WARNING_NOTE

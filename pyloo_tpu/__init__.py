@@ -31,6 +31,7 @@ from .e_loo import ExpectationResult, compute_pareto_k, e_loo, k_hat
 from .elpd import ELPDData
 from .loo import loo
 from .loo_approximate_posterior import importance_resample, loo_approximate_posterior
+from .generic_elpd import elpd
 from .loo_group import loo_group
 from .loo_lfo import loo_lfo
 from .loo_i import loo_i
@@ -119,6 +120,7 @@ __all__ = [
     "loo_compare_streaming",
     "loo_approximate_posterior_streaming",
     "update_subsample",
+    "elpd",
     "loo_group",
     "loo_lfo",
     "loo_i",

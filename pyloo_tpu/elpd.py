@@ -72,6 +72,14 @@ p_kfold       {p_kfold:<8.2f}    {p_kfold_se:<.2f}
 kfoldic      {kfoldic:<8.2f}    {kfoldic_se:<.2f}
 """
 
+# Generic held-out-data ELPD (R loo::elpd parity; no reference analogue).
+GENERIC_ELPD_FMT = """
+Computed from {n_samples} by {n_points} log-likelihood matrix using the generic elpd function.
+
+     Estimate       SE
+elpd   {elpd:<8.2f}    {se:<.2f}
+ic     {ic:<8.2f}    {ic_se:<.2f}"""
+
 # LFO-CV is a pyloo_tpu extension (no reference analogue); template follows
 # the house style of the other result kinds.
 LFO_BASE_FMT = """
@@ -173,7 +181,17 @@ class ELPDData(pd.Series):
     """
 
     def __str__(self):
-        kind = self.index[0].split("_")[1]
+        parts = self.index[0].split("_")
+        if len(parts) == 1 and parts[0] == "elpd":  # generic held-out elpd
+            return GENERIC_ELPD_FMT.format(
+                n_samples=self.n_samples,
+                n_points=self.n_data_points,
+                elpd=self["elpd"],
+                se=self["se"],
+                ic=self["ic"],
+                ic_se=self["ic_se"],
+            )
+        kind = parts[1] if len(parts) > 1 else parts[0]
         if kind not in ("loo", "waic", "kfold", "logo", "lfo"):
             raise ValueError("Invalid ELPDData object")
 

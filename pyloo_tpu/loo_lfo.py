@@ -19,9 +19,10 @@ the fit.  Ratios are Pareto-smoothed; when the shape diagnostic exceeds
 point uses the new draws directly — an *exact* predictive contribution).
 
 TPU-native structure: within one fit block, the ratio rows for every
-remaining target are a single device cumulative sum over the future
-log-likelihood matrix, and all their PSIS fits run as one batched kernel
-call (:func:`pyloo_tpu.psislw`) — the host only orchestrates refits.
+remaining target come from one cumulative sum over the future
+log-likelihood matrix (host-deterministic float64 — see
+:func:`_block_scores`), and all their PSIS fits run as one batched device
+kernel call (:func:`pyloo_tpu.psislw`) — the host only orchestrates refits.
 """
 
 from __future__ import annotations
@@ -48,25 +49,34 @@ def _block_scores(ll_f: np.ndarray, t_max: int, m: int, reff: float):
 
     ``ll_f``: (n_future, S) log-likelihood of observations ``i*..N-1`` under
     the fit at history ``i*``.  Returns ``(elpd, ks)`` for targets
-    ``t = 0..t_max-1`` (``t`` = offset from ``i*``): one cumulative sum
-    builds every ratio row, one batched PSIS smooths them all.
+    ``t = 0..t_max-1`` (``t`` = offset from ``i*``).
+
+    The ratio and joint-window sums are accumulated on the host in
+    sequential float64 — PSIS tail membership uses strict value comparisons,
+    so the accumulation order must be deterministic (a parallel-scan cumsum
+    reorders roundoff and can flip tied tail members), and the M-step joint
+    is built by direct row adds rather than a cumsum difference (which
+    cancels catastrophically for long series).  All targets' PSIS fits then
+    run as ONE batched device call.
     """
-    ll_d = jnp.asarray(ll_f)
-    s = ll_d.shape[1]
-    cum = jnp.cumsum(ll_d, axis=0)  # cum[j] = sum of rows 0..j
+    ll64 = np.asarray(ll_f, dtype=np.float64)
+    s = ll64.shape[1]
+    cum = np.cumsum(ll64, axis=0)  # sequential: cum[j] = ((r0+r1)+...)+rj
     # joint log-lik of the M-step-ahead window starting at offset t
-    joint = cum[m - 1 : m - 1 + t_max]
-    if t_max > 1:
-        joint = joint.at[1:].add(-cum[: t_max - 1])
+    joint = ll64[:t_max].copy()
+    for j in range(1, m):
+        joint += ll64[j : j + t_max]
 
     elpd = np.empty(t_max)
     ks = np.zeros(t_max)
     # t = 0: draws come from the exact conditioning set — uniform weights
-    elpd[0] = float(logsumexp(joint[0])) - np.log(s)
+    elpd[0] = float(logsumexp(jnp.asarray(joint[0]))) - np.log(s)
     if t_max > 1:
         ratios = cum[: t_max - 1]  # row t-1 = sum of rows 0..t-1 = ratio for t
-        lw, k = psislw(np.asarray(ratios), reff=reff)
-        elpd[1:] = np.asarray(logsumexp(jnp.asarray(lw) + joint[1:], axis=1))
+        lw, k = psislw(ratios, reff=reff)
+        elpd[1:] = np.asarray(
+            logsumexp(jnp.asarray(lw) + jnp.asarray(joint[1:]), axis=1)
+        )
         ks[1:] = np.asarray(k)
     return elpd, ks
 

@@ -345,6 +345,139 @@ def fuzz_mesh(trials=10, seed=55):
     return 1 if fails else 0
 
 
+def fuzz_lfo(trials=15, seed=31):
+    """loo_lfo's batched block program vs a per-target scalar oracle.
+
+    The oracle recomputes every target independently: ratio = plain numpy
+    row sums, smoothing via the public single-row psislw, elpd via
+    logsumexp — no cumulative-sum / batching machinery shared with the
+    implementation under test.
+    """
+    warnings.simplefilter("ignore")
+    rng = np.random.default_rng(seed)
+    dists = ["normal", "t", "exp", "ties", "bimodal"]
+    fails = 0
+    for trial in range(trials):
+        n = int(rng.integers(15, 90))
+        s = int(rng.integers(50, 1500))
+        m_ahead = int(rng.integers(1, 4))
+        L = int(rng.integers(3, max(4, n - m_ahead - 3)))
+        reff = float(rng.uniform(0.5, 1.5))
+        ll = gen_ll(rng, dists[trial % len(dists)], n, s)
+        idata = pl.from_dict(
+            log_likelihood={"obs": ll.T.reshape(1, s, n)}
+        )
+        try:
+            res = pl.loo_lfo(
+                idata, L, M=m_ahead, reff=reff, pointwise=True
+            )
+            got = np.asarray(res["lfo_i"].values)
+            got_k = np.asarray(res["pareto_k"])
+            n_targets = n - m_ahead - L + 1
+            assert res["n_data_points"] == n_targets
+            for t in range(n_targets):
+                i = L + t
+                joint = ll[i : i + m_ahead].sum(axis=0)
+                if t == 0:
+                    c = joint.max()
+                    want = c + np.log(np.mean(np.exp(joint - c)))
+                    want_k = 0.0
+                else:
+                    ratio = ll[L:i].sum(axis=0)
+                    lw, k = pl.psislw(ratio.copy(), reff=reff)
+                    x = lw + joint
+                    c = x.max()
+                    want = c + np.log(np.sum(np.exp(x - c)))
+                    want_k = float(k)
+                np.testing.assert_allclose(got[t], want, rtol=1e-9, atol=1e-9)
+                if np.isfinite(want_k) or t == 0:
+                    np.testing.assert_allclose(
+                        got_k[t], want_k, rtol=1e-9, atol=1e-12
+                    )
+                else:
+                    assert not np.isfinite(got_k[t])
+        except AssertionError as e:
+            fails += 1
+            print(f"LFO FAIL trial={trial} n={n} s={s} L={L} M={m_ahead}"
+                  f" reff={reff:.2f}: {str(e)[:300]}")
+    print(f"lfo fuzz done: {trials} trials, {fails} failures")
+    return 1 if fails else 0
+
+
+def fuzz_mm(trials=8, seed=9001):
+    """Device-batched moment matching vs the host greedy loop on random
+    conjugate regressions (exact posterior draws; contaminated responses
+    force high-k observations)."""
+    warnings.simplefilter("ignore")
+    import jax.numpy as jnp  # noqa: F811
+
+    from pyloo_tpu.models.wrapper import Model, idata_from_flat_draws
+
+    rng = np.random.default_rng(seed)
+    fails = 0
+    for trial in range(trials):
+        p = int(rng.integers(1, 5))
+        n = int(rng.integers(12, 40))
+        s = int(rng.integers(300, 900))
+        X = rng.normal(size=(n, p))
+        beta_true = rng.normal(size=p)
+        y = X @ beta_true + rng.normal(size=n)
+        n_out = int(rng.integers(1, 4))
+        y[rng.choice(n, n_out, replace=False)] += rng.uniform(4, 9, n_out)
+
+        def logp(params, data, X=X):
+            b = params["beta"]
+            r = data["y"] - data["X"] @ b
+            return -0.5 * jnp.sum(b**2) - 0.5 * jnp.sum(r**2)
+
+        def log_lik(params, data):
+            r = data["y"] - data["X"] @ params["beta"]
+            return -0.5 * jnp.log(2 * jnp.pi) - 0.5 * r**2
+
+        model = Model(
+            f"reg{trial}", {"y": y, "X": X}, {"beta": (p,)},
+            logp, log_lik, obs_keys=("y", "X"),
+        )
+        # exact conjugate posterior: beta | y ~ N(mu_n, Sigma_n)
+        prec = np.eye(p) + X.T @ X
+        cov = np.linalg.inv(prec)
+        mu_n = cov @ (X.T @ y)
+        chol = np.linalg.cholesky(cov)
+        draws = mu_n + rng.normal(size=(s, p)) @ chol.T
+        idata = idata_from_flat_draws(model, draws.reshape(1, s, p))
+        wrapper = pl.JAXModelWrapper(model, idata)
+        orig = pl.loo(idata, pointwise=True, reff=1.0)
+        ks = np.asarray(orig.pareto_k.values)
+        thresh = float(np.quantile(ks, rng.uniform(0.5, 0.9)))
+        split = bool(rng.integers(0, 2))
+        cov_t = bool(rng.integers(0, 2))
+        try:
+            host = pl.loo_moment_match(
+                wrapper, orig, k_threshold=thresh, split=split, cov=cov_t,
+                device_batched=False,
+            )
+            dev = pl.loo_moment_match(
+                wrapper, orig, k_threshold=thresh, split=split, cov=cov_t,
+                device_batched=True,
+            )
+            np.testing.assert_allclose(
+                dev.loo_i.values, host.loo_i.values, rtol=1e-8, atol=1e-8
+            )
+            np.testing.assert_allclose(
+                dev.pareto_k.values, host.pareto_k.values,
+                rtol=1e-8, atol=1e-8,
+            )
+            np.testing.assert_allclose(
+                dev["elpd_loo"], host["elpd_loo"], rtol=1e-8
+            )
+        except AssertionError as e:
+            fails += 1
+            print(f"MM FAIL trial={trial} p={p} n={n} s={s} thr={thresh:.2f}"
+                  f" split={split} cov={cov_t}: {str(e)[:300]}")
+    print(f"mm fuzz done: {trials} trials, {fails} failures")
+    return 1 if fails else 0
+
+
 if __name__ == "__main__":
     trials = int(sys.argv[1]) if len(sys.argv) > 1 else 40
     seed = int(sys.argv[2]) if len(sys.argv) > 2 else 20260818
@@ -360,4 +493,8 @@ if __name__ == "__main__":
         rc |= fuzz_subsample(trials, seed)
     if mode in ("mesh", "all"):
         rc |= fuzz_mesh(max(trials // 3, 4), seed)
+    if mode in ("lfo", "all"):
+        rc |= fuzz_lfo(max(trials // 2, 5), seed)
+    if mode in ("mm", "all"):
+        rc |= fuzz_mm(max(trials // 5, 4), seed)
     sys.exit(rc)

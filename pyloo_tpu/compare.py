@@ -129,7 +129,11 @@ def loo_compare(
         {
             "rank": range(len(ordered_names)),
             f"elpd_{ic}": [elpds[name][f"elpd_{ic}"] for name in ordered_names],
-            f"p_{ic}": [elpds[name][f"p_{ic}"] for name in ordered_names],
+            # LFO results carry no effective-parameter estimate (p_lfo is
+            # undefined without a matched in-sample lpd per fit)
+            f"p_{ic}": [
+                elpds[name].get(f"p_{ic}", np.nan) for name in ordered_names
+            ],
             "elpd_diff": diffs,
             "weight": [weights[name] for name in ordered_names],
             "se": ses,
@@ -217,6 +221,14 @@ def _calculate_ics(
     scale = (precomputed_scale or "log") if scale is None else scale.lower()
 
     out = dict(deepcopy(compare_dict))
+    if ic not in ("loo", "waic", "kfold") and any(
+        not isinstance(d, ELPDData) for d in out.values()
+    ):
+        raise ValueError(
+            f"ic='{ic}' cannot be computed from raw data inside loo_compare; "
+            "precompute every entry (e.g. loo_lfo/loo_group with "
+            "pointwise=True) and pass the ELPDData results"
+        )
     for name, dataset in out.items():
         if isinstance(dataset, ELPDData):
             continue

@@ -183,6 +183,35 @@ class TestArrayPath:
         assert res_neg["elpd_lfo"] == pytest.approx(-res_log["elpd_lfo"])
 
 
+class TestCompareLfo:
+    def test_loo_compare_accepts_lfo_results(self):
+        y = _series(30)
+        L = 12
+        a = pl.loo_lfo(_idata(y, L, s=500, seed=1), L, pointwise=True)
+        b_mu = _draws(y[:L], 500, seed=2) + 2.5  # deliberately biased model
+        ll_b = _loglik_matrix(y, b_mu)
+        b = pl.loo_lfo(
+            pl.from_dict(
+                posterior={"mu": b_mu.reshape(1, 500)},
+                log_likelihood={"obs": ll_b.T.reshape(1, 500, -1)},
+            ),
+            L,
+            pointwise=True,
+        )
+        df = pl.loo_compare({"good": a, "biased": b})
+        assert list(df.index) == ["good", "biased"]
+        assert df.loc["good", "rank"] == 0
+        assert np.isnan(df.loc["good", "p_lfo"])
+        assert df.loc["biased", "elpd_diff"] < 0
+        assert df.loc["biased", "dse"] > 0
+
+    def test_raw_data_with_lfo_ic_raises(self):
+        y = _series(20)
+        a = pl.loo_lfo(_idata(y, 8, s=200), 8, pointwise=True)
+        with pytest.raises(ValueError, match="cannot be computed from raw"):
+            pl.loo_compare({"a": a, "raw": _idata(y, 8, s=200)})
+
+
 class TestWrapperRefits:
     def test_refits_track_analytic_under_regime_shift(self):
         y = _series(36)

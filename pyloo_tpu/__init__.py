@@ -31,6 +31,14 @@ from .e_loo import ExpectationResult, compute_pareto_k, e_loo, k_hat
 from .elpd import ELPDData
 from .loo import loo
 from .loo_approximate_posterior import importance_resample, loo_approximate_posterior
+from .diagnostics import (
+    loo_pit,
+    mcse_loo,
+    pareto_k_ids,
+    pareto_k_table,
+    pareto_k_values,
+    psis_ess_values,
+)
 from .generic_elpd import elpd
 from .loo_group import loo_group
 from .loo_lfo import loo_lfo
@@ -123,6 +131,12 @@ __all__ = [
     "elpd",
     "loo_group",
     "loo_lfo",
+    "loo_pit",
+    "mcse_loo",
+    "pareto_k_ids",
+    "pareto_k_table",
+    "pareto_k_values",
+    "psis_ess_values",
     "loo_i",
     "loo_kfold",
     "_kfold_split_random",

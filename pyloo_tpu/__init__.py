@@ -74,10 +74,12 @@ from .loo_nonfactor import loo_nonfactor
 from .plots import (
     influence_plot,
     loo_difference_plot,
+    loo_pit_plot,
     loo_plot,
     plot_influence,
     plot_loo,
     plot_loo_difference,
+    plot_loo_pit,
 )
 from .loo_predictive_metric import MetricResult, loo_predictive_metric
 from .loo_score import LooScoreResult, loo_score
@@ -166,6 +168,8 @@ __all__ = [
     "plot_loo",
     "plot_influence",
     "plot_loo_difference",
+    "plot_loo_pit",
+    "loo_pit_plot",
     "loo_predictive_metric",
     "MetricResult",
     "loo_score",

@@ -2,18 +2,22 @@
 
 from .influence_plot import plot_influence
 from .loo_difference_plot import plot_loo_difference
+from .loo_pit_plot import plot_loo_pit
 from .loo_plot import plot_loo
 
 # reference-compatible aliases (pyloo/__init__.py exports these names)
 loo_plot = plot_loo
 influence_plot = plot_influence
 loo_difference_plot = plot_loo_difference
+loo_pit_plot = plot_loo_pit
 
 __all__ = [
     "plot_loo",
     "plot_influence",
     "plot_loo_difference",
+    "plot_loo_pit",
     "loo_plot",
     "influence_plot",
     "loo_difference_plot",
+    "loo_pit_plot",
 ]

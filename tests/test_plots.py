@@ -198,3 +198,49 @@ def test_plots_accept_streamed_results():
     assert ax is not None
     ax2 = pl.plot_influence(res, show=False)
     assert ax2 is not None
+
+
+class TestPlotLooPit:
+    """LOO-PIT calibration plot (pyloo_tpu extension)."""
+
+    def _pit(self, n=60, seed=0):
+        rng = np.random.default_rng(seed)
+        return rng.uniform(size=n)
+
+    def test_ecdf_with_precomputed_pit(self):
+        ax = pl.plot_loo_pit(self._pit())
+        assert ax.get_ylabel() == "Empirical CDF"
+        labels = [t.get_text() for t in ax.get_legend().get_texts()]
+        assert "LOO-PIT ECDF" in labels and "95% DKW band" in labels
+
+    def test_hist_kind(self):
+        ax = pl.plot_loo_pit(self._pit(), kind="hist", n_bins=7)
+        assert ax.get_ylabel() == "Density"
+        assert len(ax.patches) == 7
+
+    def test_computes_pit_from_data(self):
+        rng = np.random.default_rng(1)
+        n, s = 20, 150
+        y = rng.normal(size=n)
+        y_hat = rng.normal(size=(n, s))
+        ll = rng.normal(-1, 0.1, size=(n, s))
+        d = pl.from_dict(log_likelihood={"obs": ll.T.reshape(1, s, n)})
+        ax = pl.plot_loo_pit(data=d, y=y, y_hat=y_hat, reff=1.0)
+        assert ax.get_title() == "LOO-PIT calibration"
+
+    def test_validation(self):
+        with pytest.raises(ValueError, match="pit.*or.*data"):
+            pl.plot_loo_pit()
+        with pytest.raises(ValueError, match="kind"):
+            pl.plot_loo_pit(self._pit(), kind="kde")
+
+    def test_dataarray_pit_accepted(self):
+        rng = np.random.default_rng(2)
+        n, s = 10, 100
+        y = rng.normal(size=n)
+        y_hat = rng.normal(size=(n, s))
+        ll = rng.normal(-1, 0.1, size=(n, s))
+        d = pl.from_dict(log_likelihood={"obs": ll.T.reshape(1, s, n)})
+        pit = pl.loo_pit(d, y=y, y_hat=y_hat, reff=1.0)
+        ax = pl.plot_loo_pit(pit)
+        assert ax is not None

@@ -143,6 +143,40 @@ class CompactWeights(NamedTuple):
         _, var = self.weighted_moments(h, raw_log_weights)
         return np.sqrt(var)
 
+    def weighted_quantile(self, h, raw_log_weights, probs, *,
+                          chunk_rows: int = 8192):
+        """Interpolated weighted quantiles per row (``(B, n_probs)``).
+
+        Quantiles need each row's full sorted ``h`` regardless of the weight
+        representation, so this densifies the smoothed log-weights one
+        row-chunk at a time (peak extra memory ``chunk_rows x S``) and runs
+        the same device kernel :func:`pyloo_tpu.e_loo` uses — values are
+        identical to the dense path for every chunking.
+        """
+        import jax.numpy as jnp
+
+        from .ops.expectations import weighted_quantile_batch
+
+        h = np.asarray(h)
+        raw = np.asarray(raw_log_weights)
+        probs = np.atleast_1d(np.asarray(probs, dtype=np.float64))
+        n_rows = raw.shape[0]
+        out = np.empty((n_rows, probs.size))
+        tail_idx = np.asarray(self.tail_idx)
+        tail_lw = np.asarray(self.tail_lw)
+        log_norm = np.asarray(self.log_norm)
+        for s0 in range(0, n_rows, chunk_rows):
+            sl = slice(s0, min(s0 + chunk_rows, n_rows))
+            lw = raw[sl] - log_norm[sl, None]
+            rows = np.arange(lw.shape[0])[:, None]
+            lw[rows, tail_idx[sl]] = tail_lw[sl]
+            out[sl] = np.asarray(
+                weighted_quantile_batch(
+                    jnp.asarray(h[sl]), jnp.asarray(lw), probs
+                )
+            )
+        return out
+
 
 def psislw_compact(log_weights, reff: float = 1.0) -> CompactWeights:
     """PSIS without materializing the smoothed matrix.

@@ -166,3 +166,27 @@ class TestCompactConsumers:
         rows = np.arange(2)[:, None]
         lw[rows, np.asarray(tail_idx)] = np.asarray(tail_lw)
         np.testing.assert_allclose(lw, np.asarray(dense), rtol=0, atol=1e-12)
+
+    def test_weighted_quantile_matches_dense(self):
+        from pyloo_tpu.ops.expectations import weighted_quantile_batch
+        import jax.numpy as jnp
+
+        rng = np.random.default_rng(11)
+        raw = rng.standard_t(df=3, size=(17, 500))
+        h = rng.normal(size=(17, 500))
+        probs = [0.1, 0.5, 0.9]
+        compact = pl.psislw_compact(raw)
+        dense, _ = _dense(raw)
+        want = np.asarray(
+            weighted_quantile_batch(
+                jnp.asarray(h), jnp.asarray(dense), np.asarray(probs)
+            )
+        )
+        got = compact.weighted_quantile(h, raw, probs)
+        np.testing.assert_allclose(got, want, rtol=1e-12, atol=1e-14)
+        # chunked row processing is value-identical
+        got_chunked = compact.weighted_quantile(h, raw, probs, chunk_rows=5)
+        np.testing.assert_allclose(got_chunked, want, rtol=1e-12, atol=1e-14)
+        # scalar prob accepted
+        got_scalar = compact.weighted_quantile(h, raw, 0.5)
+        np.testing.assert_allclose(got_scalar[:, 0], want[:, 1], rtol=1e-12)

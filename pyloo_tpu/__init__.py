@@ -24,7 +24,7 @@ if not logging.root.handlers:
     )
 
 from .base import ISMethod, compute_importance_weights
-from .compare import loo_compare
+from .compare import loo_compare, loo_model_weights
 from .containers import DataArray, Dataset, InferenceData
 from .data import load_example_data
 from .e_loo import ExpectationResult, compute_pareto_k, e_loo, k_hat
@@ -34,6 +34,7 @@ from .loo_approximate_posterior import importance_resample, loo_approximate_post
 from .diagnostics import (
     loo_pit,
     mcse_loo,
+    relative_eff,
     pareto_k_ids,
     pareto_k_table,
     pareto_k_values,
@@ -82,7 +83,7 @@ from .plots import (
     plot_loo_pit,
 )
 from .loo_predictive_metric import MetricResult, loo_predictive_metric
-from .loo_score import LooScoreResult, loo_score
+from .loo_score import LooScoreResult, crps, loo_score, scrps
 from .loo_subsample import loo_subsample, update_subsample
 from .io import NpyLogLik, loo_from_file, waic_from_file
 from .streaming import (
@@ -115,6 +116,7 @@ __all__ = [
     "ELPDData",
     "loo",
     "loo_compare",
+    "loo_model_weights",
     "clear_streaming_cache",
     "e_loo_streaming",
     "NpyLogLik",
@@ -139,6 +141,7 @@ __all__ = [
     "pareto_k_table",
     "pareto_k_values",
     "psis_ess_values",
+    "relative_eff",
     "loo_i",
     "loo_kfold",
     "_kfold_split_random",
@@ -173,6 +176,8 @@ __all__ = [
     "loo_predictive_metric",
     "MetricResult",
     "loo_score",
+    "crps",
+    "scrps",
     "LooScoreResult",
     "loo_approximate_posterior",
     "importance_resample",

@@ -19,7 +19,7 @@ from .elpd import ELPDData
 from .loo import loo
 from .waic import waic
 
-__all__ = ["loo_compare"]
+__all__ = ["loo_compare", "loo_model_weights"]
 
 # above this many observations the stacking solve moves on device
 _DEVICE_SOLVER_MIN_OBS = 100_000
@@ -143,6 +143,55 @@ def loo_compare(
         },
         index=ordered_names,
     )
+
+
+def loo_model_weights(
+    compare_dict,
+    ic: str = "loo",
+    method: Literal["stacking", "bb-pseudo-bma", "pseudo-bma"] = "stacking",
+    b_samples: int = 1000,
+    alpha: float = 1,
+    seed=None,
+    scale: str | None = None,
+    var_name: str | None = None,
+) -> pd.Series:
+    """Model-averaging weights alone, without the comparison table.
+
+    R ``loo::loo_model_weights`` parity (the reference package only exposes
+    weights through :func:`loo_compare`'s DataFrame).  Accepts the same
+    ``compare_dict`` of InferenceData-convertibles or precomputed
+    :class:`~pyloo_tpu.elpd.ELPDData` results; returns a
+    :class:`pandas.Series` of simplex weights indexed by model name, in the
+    caller's insertion order (not ranked).
+    """
+    if not isinstance(compare_dict, dict):
+        raise TypeError("compare_dict must be a dictionary")
+    if len(compare_dict) < 2:
+        raise ValueError("You must specify at least two models for comparison")
+    if scale is None:
+        scale = "log"
+    scale = scale.lower()
+    if scale not in ["log", "negative_log", "deviance"]:
+        raise ValueError("Scale must be 'log', 'negative_log' or 'deviance'")
+    method = method.lower()
+    if method not in ["stacking", "bb-pseudo-bma", "pseudo-bma"]:
+        raise ValueError("Method must be 'stacking', 'BB-pseudo-BMA' or 'pseudo-BMA'")
+    if ic not in ["loo", "waic", "kfold"]:
+        raise ValueError("ic must be 'loo', 'waic', or 'kfold'")
+
+    elpds, scale, ic = _calculate_ics(
+        compare_dict, scale=scale, ic=ic, var_name=var_name
+    )
+    if method == "stacking":
+        weights = _stacking_weights(elpds, ic, scale)
+    elif method == "bb-pseudo-bma":
+        weights, _ = _bb_pseudo_bma_weights(
+            elpds, ic, b_samples, alpha, seed, scale
+        )
+    else:
+        weights = _pseudo_bma_weights(elpds, ic, scale)
+    names = list(elpds.keys())
+    return pd.Series([weights[n] for n in names], index=names, name="weight")
 
 
 def _ic_matrix(elpds, ic_i):

@@ -36,6 +36,7 @@ __all__ = [
     "psis_ess_values",
     "mcse_loo",
     "loo_pit",
+    "relative_eff",
 ]
 
 
@@ -234,3 +235,74 @@ def loo_pit(
     ind = jnp.asarray(y_hat) <= jnp.asarray(y)[:, None]
     pit = np.asarray(jnp.sum(w * ind, axis=1))
     return DataArray(pit, ("obs",), {"obs": np.arange(len(pit))}, "loo_pit")
+
+
+def relative_eff(x, *, method: str = "mean"):
+    """Relative MCMC efficiency ``r_eff = ESS / S`` (R ``loo::relative_eff``).
+
+    Parameters
+    ----------
+    x
+        One of
+
+        * an array shaped ``(chain, draw, *obs)`` — e.g. the *likelihood*
+          values ``exp(log_lik)`` per observation, or one parameter's draws.
+          Returns an array shaped ``obs`` with one ``r_eff`` per element
+          (a float when there are no trailing dims);
+        * a :class:`~pyloo_tpu.containers.DataArray` with leading
+          ``chain``/``draw`` dims — same as above;
+        * an ``InferenceData`` (or anything :func:`to_inference_data`
+          accepts) / a dict of posterior variables — returns the scalar
+          ``mean(ESS over all parameter elements) / S`` that
+          :func:`pyloo_tpu.loo` uses as its default ``reff``
+          (reference ``pyloo/loo.py:204-216``).
+    method
+        ESS flavor; only ``"mean"`` (split-chain ESS of the mean,
+        Vehtari et al. 2021) is implemented — it is the one the LOO
+        pipeline consumes.
+
+    Notes
+    -----
+    The per-observation form matches R ``loo``'s
+    ``relative_eff(exp(log_lik), chain_id)`` usage; pass its mean (or the
+    scalar form) to :func:`pyloo_tpu.loo`'s ``reff=``.
+    """
+    from .ops.ess import ess_mean
+    from .ops.ess import relative_eff as _dict_reff
+
+    if method != "mean":
+        raise ValueError(f"method must be 'mean', got {method!r}")
+
+    if isinstance(x, dict):
+        vals = {k: np.asarray(getattr(v, "values", v)) for k, v in x.items()}
+        first = next(iter(vals.values()), None)
+        if first is None:
+            return 1.0
+        n_samples = first.shape[0] * first.shape[1]
+        return _dict_reff(vals, n_samples)
+
+    values = getattr(x, "values", None)
+    if values is None and not isinstance(x, (np.ndarray, jnp.ndarray)):
+        # InferenceData-like: scalar reff over the posterior group
+        idata = to_inference_data(x)
+        posterior = idata.posterior
+        first = next(iter(posterior.data_vars.values()))
+        n_samples = first.sizes["chain"] * first.sizes["draw"]
+        return _dict_reff(
+            {name: posterior[name].values for name in posterior.data_vars},
+            n_samples,
+        )
+
+    arr = np.asarray(values if values is not None else x, dtype=np.float64)
+    if arr.ndim < 2:
+        raise ValueError(
+            "relative_eff expects (chain, draw, *obs) — got a"
+            f" {arr.ndim}-d array; add a leading chain axis of size 1"
+        )
+    n_samples = arr.shape[0] * arr.shape[1]
+    ess = ess_mean(arr)
+    return (
+        np.asarray(ess) / n_samples
+        if arr.ndim > 2
+        else float(ess) / n_samples
+    )

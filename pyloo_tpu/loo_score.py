@@ -23,7 +23,7 @@ from .psis import psislw
 from .rcparams import rcParams
 from .utils import get_log_likelihood, to_inference_data
 
-__all__ = ["loo_score", "LooScoreResult"]
+__all__ = ["loo_score", "crps", "scrps", "LooScoreResult"]
 
 
 @dataclass
@@ -270,3 +270,77 @@ def _get_data(
     ):
         log_likelihood = log_likelihood.stack(__sample__=("chain", "draw"))
     return x_data, x2_data, y_data, log_likelihood
+
+
+def crps(x, x2, y, *, scale: bool = False, permutations: int = 1,
+         seed: int | None = None) -> LooScoreResult:
+    """Posterior-sample CRPS from two independent predictive draw sets.
+
+    The plain (non-leave-one-out) counterpart of :func:`loo_score`
+    (R ``loo::crps`` / ``loo::scrps`` parity; the reference package only
+    ships the LOO variant).  Per observation ``i``:
+
+        EXX_i = mean_s |x_si - x2_si|      (E|X - X'|, X' independent)
+        EXy_i = mean_s |x_si - y_i|        (E|X - y|)
+        crps_i = 0.5 * EXX_i - EXy_i
+        scrps_i = -EXy_i / EXX_i - 0.5 * log(EXX_i)     (``scale=True``)
+
+    Parameters
+    ----------
+    x, x2 : array
+        Independent predictive sample sets, shaped ``(S, *obs)`` or
+        ``(chain, draw, *obs)`` (flattened to draws).  Must match.
+    y : array
+        Observed values shaped ``obs``.
+    scale : bool
+        ``True`` computes SCRPS (Bolin & Wallin 2023) instead of CRPS.
+    permutations : int
+        Extra random re-pairings of ``x2`` rows averaged into ``EXX`` to
+        reduce its variance.  The first pairing is always the identity
+        (the caller's ``x``/``x2`` pairing), so ``permutations=1`` is
+        deterministic; each additional pairing shuffles with ``seed``.
+    """
+    x = np.asarray(x, dtype=np.float64)
+    x2 = np.asarray(x2, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    if x.shape != x2.shape:
+        raise ValueError("x and x2 must have the same shape")
+    if x.ndim == y.ndim + 2:  # (chain, draw, *obs) -> (S, *obs)
+        x = x.reshape((-1,) + x.shape[2:])
+        x2 = x2.reshape((-1,) + x2.shape[2:])
+    if x.shape[1:] != y.shape:
+        raise ValueError(
+            f"x has observation shape {x.shape[1:]}, y has {y.shape}"
+        )
+    if permutations < 1:
+        raise ValueError("permutations must be >= 1")
+    S = x.shape[0]
+    if np.isnan(x).any() or np.isnan(x2).any() or np.isnan(y).any():
+        warnings.warn(
+            "NaN values detected in input data. These may lead to unreliable"
+            " results.",
+            UserWarning,
+            stacklevel=2,
+        )
+
+    EXX = np.abs(x - x2).mean(axis=0)
+    if permutations > 1:
+        rng = np.random.default_rng(seed)
+        for _ in range(permutations - 1):
+            EXX = EXX + np.abs(x - x2[rng.permutation(S)]).mean(axis=0)
+        EXX = EXX / permutations
+    EXy = np.abs(x - y[None]).mean(axis=0)
+
+    score_pw = _crps(EXX, EXy, scale=scale)
+    score_value = float(score_pw.mean())
+    score_se = float(score_pw.std() / np.sqrt(score_pw.size))
+    estimates = np.array(
+        [(score_value, score_se)], dtype=[("Estimate", float), ("SE", float)]
+    )[0]
+    return LooScoreResult(estimates=estimates, pointwise=score_pw)
+
+
+def scrps(x, x2, y, *, permutations: int = 1,
+          seed: int | None = None) -> LooScoreResult:
+    """Posterior-sample SCRPS (scaled CRPS); see :func:`crps`."""
+    return crps(x, x2, y, scale=True, permutations=permutations, seed=seed)

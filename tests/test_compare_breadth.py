@@ -104,3 +104,35 @@ class TestCompareBreadth:
         assert_allclose(df["weight"].values, [0.5, 0.5], atol=1e-6)
         assert_allclose(df["elpd_diff"].values[1], 0.0, atol=1e-10)
         assert_allclose(df["dse"].values[1], 0.0, atol=1e-10)
+
+
+class TestLooModelWeights:
+    @pytest.mark.parametrize(
+        "method", ["stacking", "bb-pseudo-bma", "pseudo-bma"]
+    )
+    def test_simplex_and_order(self, models, method):
+        w = _quiet(pl.loo_model_weights, models, method=method, seed=0)
+        assert list(w.index) == list(models.keys())  # insertion order
+        assert_allclose(float(w.sum()), 1.0, rtol=1e-6)
+        assert np.all(w.values >= 0)
+
+    def test_matches_loo_compare_weights(self, models):
+        w = _quiet(pl.loo_model_weights, models)
+        df = _quiet(pl.loo_compare, models)
+        for name in models:
+            assert_allclose(w[name], df.loc[name, "weight"], atol=1e-6)
+
+    def test_precomputed_elpds(self, models):
+        pre = {k: _quiet(pl.loo, v, pointwise=True) for k, v in models.items()}
+        w = _quiet(pl.loo_model_weights, pre)
+        w2 = _quiet(pl.loo_model_weights, models)
+        assert_allclose(w.values, w2.values, atol=1e-8)
+
+    def test_validation(self, models):
+        with pytest.raises(TypeError):
+            pl.loo_model_weights([1, 2])
+        one = {"a": next(iter(models.values()))}
+        with pytest.raises(ValueError, match="at least two"):
+            pl.loo_model_weights(one)
+        with pytest.raises(ValueError, match="[Mm]ethod"):
+            pl.loo_model_weights(models, method="zzz")

@@ -140,3 +140,47 @@ class TestLooPit:
             pl.loo_pit(idata, y=y[:6], y_hat=np.zeros((6, 49)))
         with pytest.raises(ValueError, match="observations"):
             pl.loo_pit(idata, y=y[:5], y_hat=np.zeros((6, 50)))
+
+
+class TestRelativeEff:
+    def test_iid_draws_near_one(self):
+        rng = np.random.default_rng(0)
+        x = rng.normal(size=(4, 500, 6))
+        r = pl.relative_eff(x)
+        assert r.shape == (6,)
+        assert np.all((r > 0.7) & (r < 1.4))
+
+    def test_autocorrelated_draws_small(self):
+        rng = np.random.default_rng(1)
+        rho, C, N = 0.9, 4, 500
+        ar = np.empty((C, N))
+        ar[:, 0] = rng.normal(size=C)
+        for t in range(1, N):
+            ar[:, t] = rho * ar[:, t - 1] + np.sqrt(1 - rho**2) * rng.normal(
+                size=C
+            )
+        r = pl.relative_eff(ar)  # 2-d input -> scalar
+        assert isinstance(r, float)
+        # theoretical r_eff for AR(1): (1-rho)/(1+rho) ~= 0.053
+        assert 0.01 < r < 0.15
+
+    def test_idata_matches_internal_reff(self):
+        idata = pl.load_example_data("centered_eight")
+        from pyloo_tpu._common import compute_reff
+
+        first = next(iter(idata.posterior.data_vars.values()))
+        n_samples = first.sizes["chain"] * first.sizes["draw"]
+        expected = compute_reff(idata, None, n_samples)
+        assert pl.relative_eff(idata) == pytest.approx(expected, rel=1e-12)
+
+    def test_dict_input(self):
+        rng = np.random.default_rng(2)
+        post = {"mu": rng.normal(size=(2, 400)), "tau": rng.normal(size=(2, 400, 3))}
+        r = pl.relative_eff(post)
+        assert isinstance(r, float) and 0 < r < 2
+
+    def test_validation(self):
+        with pytest.raises(ValueError, match="chain"):
+            pl.relative_eff(np.ones(10))
+        with pytest.raises(ValueError, match="method"):
+            pl.relative_eff(np.ones((2, 50)), method="sd")

@@ -344,3 +344,51 @@ class TestPredictiveMetricBreadth:
         )
         with pytest.raises((KeyError, AttributeError, ValueError, TypeError)):
             pl.loo_predictive_metric(bare, y, metric="mae")
+
+
+class TestCrpsNonLoo:
+    """Posterior-sample (non-LOO) crps/scrps against closed forms."""
+
+    def test_normal_closed_form(self):
+        rng = np.random.default_rng(0)
+        S = 60_000
+        x = rng.normal(size=(S, 4))
+        x2 = rng.normal(size=(S, 4))
+        y = np.zeros(4)
+        res = pl.crps(x, x2, y)
+        # X ~ N(0,1), y = 0:  E|X-X'| = 2/sqrt(pi),  E|X| = sqrt(2/pi)
+        expect = 1.0 / np.sqrt(np.pi) - np.sqrt(2.0 / np.pi)
+        assert_allclose(res.estimates["Estimate"], expect, atol=1.5e-2)
+        assert res.pointwise.shape == (4,)
+        res_s = pl.scrps(x, x2, y)
+        exx, exy = 2 / np.sqrt(np.pi), np.sqrt(2 / np.pi)
+        assert_allclose(
+            res_s.estimates["Estimate"],
+            -exy / exx - 0.5 * np.log(exx),
+            atol=1.5e-2,
+        )
+
+    def test_chain_draw_layout_and_determinism(self):
+        rng = np.random.default_rng(1)
+        x = rng.normal(size=(2, 500, 3))
+        x2 = rng.normal(size=(2, 500, 3))
+        y = rng.normal(size=3)
+        flat = pl.crps(x.reshape(1000, 3), x2.reshape(1000, 3), y)
+        cd = pl.crps(x, x2, y)
+        assert_allclose(cd.pointwise, flat.pointwise, rtol=1e-12)
+        a = pl.crps(x, x2, y, permutations=4, seed=9)
+        b = pl.crps(x, x2, y, permutations=4, seed=9)
+        assert_allclose(a.pointwise, b.pointwise, rtol=0)
+
+    def test_validation_and_nan_warning(self):
+        x = np.ones((100, 2))
+        with pytest.raises(ValueError, match="same shape"):
+            pl.crps(x, np.ones((100, 3)), np.zeros(2))
+        with pytest.raises(ValueError, match="observation shape"):
+            pl.crps(x, x, np.zeros(5))
+        with pytest.raises(ValueError, match="permutations"):
+            pl.crps(x, x, np.zeros(2), permutations=0)
+        xn = x.copy()
+        xn[0, 0] = np.nan
+        with pytest.warns(UserWarning, match="NaN"):
+            pl.crps(xn, x, np.zeros(2))

@@ -102,5 +102,7 @@ def load_library() -> "ctypes.CDLL | None":
         ]
         lib.cr_close.restype = None
         lib.cr_close.argtypes = [ctypes.c_void_p]
+        lib.cr_reads_issued.restype = ctypes.c_int64
+        lib.cr_reads_issued.argtypes = [ctypes.c_void_p]
         _lib = lib
         return lib

@@ -59,6 +59,8 @@ struct Reader {
   std::condition_variable cv_produced;  // consumer waits for a full slot
   std::condition_variable cv_freed;     // producer waits for a free slot
   int64_t cursor = 0;                   // next chunk the producer will read
+  int64_t in_flight = -1;               // chunk mid-pread (current generation)
+  int64_t reads_issued = 0;             // chunk preads started (diagnostics)
   uint64_t generation = 0;              // bumped on every consumer seek/reset
   std::atomic<bool> stop{false};
   bool io_error = false;
@@ -106,6 +108,8 @@ void producer_loop(Reader* r) {
       r->cv_freed.wait(lk);
     }
     r->cursor = chunk + 1;
+    r->in_flight = chunk;
+    r->reads_issued += 1;
     gen = r->generation;
     lk.unlock();
 
@@ -114,6 +118,8 @@ void producer_loop(Reader* r) {
     lk.lock();
     if (r->stop.load()) return;
     if (gen != r->generation) continue;  // consumer seeked mid-read: discard
+                                         // (the reset already cleared in_flight)
+    r->in_flight = -1;
     if (rows < 0) {
       r->io_error = true;
       r->cv_produced.notify_all();
@@ -179,9 +185,15 @@ int64_t cr_read(void* handle, int64_t chunk, char* dst) {
   if (!(slot->full && slot->chunk == chunk)) {
     // Not buffered.  If the producer is not on track to deliver it (seek
     // backwards, or a stale slot from a previous pass occupies the ring),
-    // reset the pipeline to start at `chunk`.
-    bool on_track = !r->io_error && r->cursor <= chunk &&
-                    chunk < r->cursor + (int64_t)r->slots.size();
+    // reset the pipeline to start at `chunk`.  "On track" includes the
+    // chunk being pread RIGHT NOW (in_flight): the cursor has already
+    // advanced past it, and resetting there would discard and re-read every
+    // chunk whenever the consumer outpaces the disk — the exact regime the
+    // prefetcher exists for.
+    bool on_track = !r->io_error &&
+                    (r->in_flight == chunk ||
+                     (r->cursor <= chunk &&
+                      chunk < r->cursor + (int64_t)r->slots.size()));
     if (!on_track || (slot->full && slot->chunk != chunk)) {
       for (Slot& s : r->slots) {
         s.full = false;
@@ -189,6 +201,7 @@ int64_t cr_read(void* handle, int64_t chunk, char* dst) {
       }
       r->io_error = false;
       r->cursor = chunk;
+      r->in_flight = -1;
       r->generation += 1;  // discard any pread currently in flight
       r->cv_freed.notify_all();
     }
@@ -208,6 +221,15 @@ int64_t cr_read(void* handle, int64_t chunk, char* dst) {
   slot->chunk = -1;
   r->cv_freed.notify_all();
   return rows;
+}
+
+// Chunk preads started since open (diagnostics: a sequential full pass must
+// issue exactly n_chunks reads — more means the pipeline reset and re-read).
+int64_t cr_reads_issued(void* handle) {
+  Reader* r = static_cast<Reader*>(handle);
+  if (r == nullptr) return -1;
+  std::lock_guard<std::mutex> lk(r->m);
+  return r->reads_issued;
 }
 
 void cr_close(void* handle) {

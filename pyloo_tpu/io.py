@@ -94,6 +94,12 @@ class _NativeReader:
             )
         return int(rows)
 
+    @property
+    def reads_issued(self) -> int:
+        """Chunk preads started since open (a sequential full pass must issue
+        exactly n_chunks — more means the pipeline reset and re-read)."""
+        return int(self._lib.cr_reads_issued(self._handle)) if self._handle else 0
+
     def close(self):
         if self._handle:
             self._lib.cr_close(self._handle)
@@ -218,6 +224,14 @@ class NpyLogLik:
         if got < n_rows:
             out[got:] = out[got - 1]
         return out
+
+    @property
+    def reads_issued(self) -> int | None:
+        """Chunk preads issued by the native reader (``None`` on the memmap
+        fallback or before the first read)."""
+        if isinstance(self._reader, _NativeReader):
+            return self._reader.reads_issued
+        return None
 
     def gather_rows(self, idx) -> np.ndarray:
         """``(len(idx), n_draws)`` rows at arbitrary observation indices.

@@ -229,3 +229,22 @@ def test_fallback_forced_by_env(ll_file, monkeypatch):
     assert not src.is_native
     with pytest.raises(RuntimeError, match="native=True"):
         NpyLogLik(ll_file, native=True)
+
+
+@pytest.mark.skipif(not HAVE_NATIVE, reason="no C++ compiler")
+def test_sequential_pass_reads_each_chunk_once(ll_file):
+    # Regression: requesting the chunk currently mid-pread used to look
+    # "off track" (the producer cursor had already advanced past it) and
+    # reset the pipeline, re-reading every chunk whenever the consumer
+    # outpaced the disk.  A sequential full pass must issue exactly
+    # n_chunks preads.
+    chunk = 32
+    n_chunks = -(-N_OBS // chunk)
+    for trial in range(20):  # many trials to hit the read-in-flight race
+        with NpyLogLik(ll_file, native=True, depth=3) as src:
+            for c in range(n_chunks):
+                src.read_rows(c * chunk, chunk)
+            assert src.reads_issued == n_chunks, (
+                f"trial {trial}: {src.reads_issued} preads for"
+                f" {n_chunks} chunks"
+            )

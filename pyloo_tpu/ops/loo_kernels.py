@@ -55,6 +55,7 @@ from .psis import (
 __all__ = [
     "loo_scores_psis",
     "loo_scores_psis_fast",
+    "loo_scores_psis_fast_tiled",
     "loo_scores_sis",
     "loo_scores_tis",
     "mixture_scores",
@@ -308,13 +309,44 @@ def loo_scores_psis_fast(log_lik, tail_max: int):
         log_ntl = _nontail_mass(x, xcutoff)
 
     elpd_i, khat, degenerate = _psis_tail_scores(
-        vals[:, :M], xcutoff, log_ntl, C1, S, exact=False
+        vals[:, :M], xcutoff, log_ntl, C1, S, exact=False, product=True
     )
 
     if use_fused:
         lppd_i = log_sum_ll - jnp.log(jnp.asarray(S, dtype))
     else:
         lppd_i = logsumexp(log_lik, axis=1, b_inv=S)
+    return elpd_i, khat, lppd_i, degenerate
+
+
+@partial(
+    jax.jit, static_argnames=("b_in", "s", "tail_max", "interpret")
+)
+def loo_scores_psis_fast_tiled(
+    xt, *, b_in: int, s: int, tail_max: int, interpret: bool = False
+):
+    """:func:`loo_scores_psis_fast` over a pre-tiled prepass input.
+
+    ``xt`` is ``tile_rows(-log_lik, tail_max + 1)`` (see
+    :func:`pyloo_tpu.ops.pallas_topk.tile_rows`); producing the tiles inside
+    the chunk-generator program fuses the layout change into the generator's
+    output write, removing one full HBM round-trip per chunk from the
+    streaming path.  Same outputs and semantics as the fused branch of
+    :func:`loo_scores_psis_fast`.
+    """
+    from .pallas_topk import pallas_loo_prepass_tiled
+
+    M = tail_max
+    dtype = xt.dtype
+    cutoff_floor = jnp.asarray(_CUTOFF_FLOOR, dtype)
+    vals, C1, log_ntl, log_sum_ll = pallas_loo_prepass_tiled(
+        xt, b_in, s, M + 1, interpret=interpret
+    )
+    xcutoff = jnp.maximum(vals[:, M], cutoff_floor)
+    elpd_i, khat, degenerate = _psis_tail_scores(
+        vals[:, :M], xcutoff, log_ntl, C1, s, exact=False, product=True
+    )
+    lppd_i = log_sum_ll - jnp.log(jnp.asarray(s, dtype))
     return elpd_i, khat, lppd_i, degenerate
 
 

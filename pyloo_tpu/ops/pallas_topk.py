@@ -40,7 +40,14 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["pallas_topk_desc", "pallas_loo_prepass", "supports"]
+__all__ = [
+    "pallas_topk_desc",
+    "pallas_loo_prepass",
+    "pallas_loo_prepass_tiled",
+    "prepass_geometry",
+    "supports",
+    "tile_rows",
+]
 
 _N = 256  # default per-lane list length (k <= 256); k <= 512 uses 512
 _LANES = 128
@@ -327,6 +334,57 @@ def _kernel_fused(
         out_ref[b] = v[:, :rows]
 
 
+class _PrepassGeom:
+    """Static tiling geometry for the fused prepass (one per (B, S, k, blk))."""
+
+    __slots__ = ("n", "n_segs", "rows", "s_pad", "b_pad", "grid")
+
+    def __init__(self, b_in: int, s: int, k: int, blk: int):
+        n = _list_height(k)
+        n_segs = 1
+        while n_segs * n < s:
+            n_segs *= 2
+        rows = _LANES // n_segs
+        rows_per_step = rows * blk
+        self.n = n
+        self.n_segs = n_segs
+        self.rows = rows
+        self.s_pad = n_segs * n
+        self.b_pad = -(-b_in // rows_per_step) * rows_per_step
+        self.grid = self.b_pad // rows_per_step
+
+
+def prepass_geometry(b_in: int, s: int, k: int, blk: int = 4) -> _PrepassGeom:
+    if not supports(s, k):
+        raise ValueError(f"pallas prepass does not support S={s}, k={k}")
+    return _PrepassGeom(b_in, s, k, blk)
+
+
+@partial(jax.jit, static_argnames=("k", "blk"))
+def tile_rows(x_raw, k: int, *, blk: int = 4):
+    """(B, S) raw rows -> the (grid*blk, n, 128) prepass tile layout.
+
+    Pure XLA (pad + reshape + transpose): calling it inside the program that
+    PRODUCES ``x_raw`` lets the compiler fuse the layout change into the
+    producer's output write, eliding one full HBM round-trip of the natural
+    layout before :func:`pallas_loo_prepass_tiled` reads the tiles.
+    """
+    b_in, s = x_raw.shape
+    g = prepass_geometry(b_in, s, k, blk)
+    xp = x_raw
+    if g.s_pad != s or g.b_pad != b_in:
+        xp = jnp.pad(
+            x_raw,
+            ((0, g.b_pad - b_in), (0, g.s_pad - s)),
+            constant_values=-jnp.inf,
+        )
+    return (
+        xp.reshape(g.grid, blk, g.rows, g.n_segs, g.n)
+        .transpose(0, 1, 4, 3, 2)
+        .reshape(g.grid * blk, g.n, _LANES)
+    )
+
+
 @partial(jax.jit, static_argnames=("k", "interpret", "blk"))
 def pallas_loo_prepass(x_raw, k: int, *, interpret: bool = False, blk: int = 4):
     """Fused selection + row reductions for the float32 PSIS fast path.
@@ -337,31 +395,32 @@ def pallas_loo_prepass(x_raw, k: int, *, interpret: bool = False, blk: int = 4):
     ``log_sum_ll = logsumexp(-x)`` (the unnormalized lppd).
     """
     b_in, s = x_raw.shape
-    if not supports(s, k):
-        raise ValueError(f"pallas_loo_prepass does not support S={s}, k={k}")
-    n = _list_height(k)
-    n_segs = 1
-    while n_segs * n < s:
-        n_segs *= 2
-    rows = _LANES // n_segs
-    s_pad = n_segs * n
-
-    rows_per_step = rows * blk
-    b_pad = -(-b_in // rows_per_step) * rows_per_step
-    grid = b_pad // rows_per_step
-
-    xp = x_raw
-    if s_pad != s or b_pad != b_in:
-        xp = jnp.pad(
-            x_raw,
-            ((0, b_pad - b_in), (0, s_pad - s)),
-            constant_values=-jnp.inf,
-        )
-    xt = (
-        xp.reshape(grid, blk, rows, n_segs, n)
-        .transpose(0, 1, 4, 3, 2)
-        .reshape(grid * blk, n, _LANES)
+    xt = tile_rows(x_raw, k, blk=blk)
+    return pallas_loo_prepass_tiled(
+        xt, b_in, s, k, interpret=interpret, blk=blk
     )
+
+
+@partial(
+    jax.jit, static_argnames=("b_in", "s", "k", "interpret", "blk")
+)
+def pallas_loo_prepass_tiled(
+    xt, b_in: int, s: int, k: int, *, interpret: bool = False, blk: int = 4
+):
+    """:func:`pallas_loo_prepass` over a pre-tiled input (see :func:`tile_rows`).
+
+    Streaming callers tile inside the chunk-generator program so the layout
+    change fuses with the producer; this entry then reads the tiles directly.
+    """
+    g = prepass_geometry(b_in, s, k, blk)
+    n, n_segs, rows = g.n, g.n_segs, g.rows
+    b_pad, grid = g.b_pad, g.grid
+    if xt.shape != (grid * blk, n, _LANES):
+        raise ValueError(
+            f"tiled input has shape {xt.shape}, expected"
+            f" {(grid * blk, n, _LANES)} for (B={b_in}, S={s}, k={k},"
+            f" blk={blk})"
+        )
 
     import numpy as _np
 
@@ -389,8 +448,8 @@ def pallas_loo_prepass(x_raw, k: int, *, interpret: bool = False, blk: int = 4):
             ),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((grid * blk, n, rows), x_raw.dtype),
-            jax.ShapeDtypeStruct((grid * blk, 8, _LANES), x_raw.dtype),
+            jax.ShapeDtypeStruct((grid * blk, n, rows), xt.dtype),
+            jax.ShapeDtypeStruct((grid * blk, 8, _LANES), xt.dtype),
         ),
         interpret=interpret,
     )(xt)

@@ -512,16 +512,28 @@ def _gpdfit_from_y(y, nf, y_quart, y_last, product=False):
 # both: one transcendental per candidate, no guard, no cond.
 
 
+# NOTE — rejected design (round 3, measured on v5e): a float32 rescaled-
+# linear product-tree fit (exceedances divided by the row max so the whole
+# Zhang-Stephens scan runs in f32 linear arithmetic via _log_prod_terms,
+# with a lax.cond fallback to the signed-log scan for quartile-to-max spans
+# beyond e^60).  Numerically it matched the signed-log fit to ~5e-3 on k,
+# but it MEASURED SLOWER: 77 ms vs 49 ms per (125k, 191) batch.  The
+# product tree wins only under emulated f64, where each transcendental
+# costs tens of f32 ops; native f32 exp/log are single VPU ops on TPU, so
+# the tree's renormalization ladder (~6 where-selects per leaf) costs more
+# than the ~4 transcendentals per element it removes.  Keep float32 on the
+# signed-log scan.
+
+
 def _gpdfit_dispatch(log_exceed, n_tail, log_quart, log_last, product=False):
     """Pick the fit for max-shifted PSIS exceedances (log values <= 0).
 
     float64 -> the reference-verbatim linear fit (cheap even under TPU's
     emulated f64, where every transcendental costs multiple f32 ops);
-    float32 -> the signed-log fit (robust to exp underflow below ~e^-88).
-
-    ``product=True`` opts the float64 fit's profile-likelihood scans into
-    the renormalized-product evaluation (one f64 ``log`` per candidate
-    instead of one ``log1p`` per tail element — see :func:`_log_prod_terms`).
+    float32 -> the signed-log fit (robust to exp underflow below ~e^-88,
+    and faster than the product tree where transcendentals are native —
+    see the rejected-design note above).  ``product`` only affects the
+    float64 fit's profile-likelihood evaluation.
     """
     if log_exceed.dtype == jnp.dtype(jnp.float64):
         return _gpdfit_batch_linear(

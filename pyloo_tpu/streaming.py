@@ -117,7 +117,9 @@ def _source_program(src, chunk_size, n_obs, dtype_str, sharding):
     return gen
 
 
-def _gen_program(log_lik_fn, chunk_size, n_obs, dtype_str, sharding):
+def _gen_program(
+    log_lik_fn, chunk_size, n_obs, dtype_str, sharding, *, tiled_k=None
+):
     """Jitted chunk generator, memoized on the user's function object.
 
     Keying on ``log_lik_fn``'s identity (plus the chunk geometry) means
@@ -127,12 +129,19 @@ def _gen_program(log_lik_fn, chunk_size, n_obs, dtype_str, sharding):
     captured arrays were mutated returns stale results — see
     :func:`clear_streaming_cache`.  Callables that cannot be weak-referenced
     (e.g. bound methods) are simply not cached.
+
+    ``tiled_k``: when set, the generator emits ``tile_rows(-ll, tiled_k)``
+    (the Pallas prepass tile layout) instead of the natural ``(chunk, S)``
+    matrix.  Tiling inside the generator program lets XLA fuse the layout
+    change into the producer's output write — the natural layout is never
+    materialized in HBM, saving one full chunk round-trip per step.
     """
     if _is_chunk_source(log_lik_fn):
+        assert tiled_k is None  # disk sources ship natural-layout rows
         return _source_program(
             log_lik_fn, chunk_size, n_obs, dtype_str, sharding
         )
-    geom_key = (chunk_size, n_obs, dtype_str, sharding)
+    geom_key = (chunk_size, n_obs, dtype_str, sharding, tiled_k)
     try:
         per_fn = _GEN_CACHE.get(log_lik_fn)
         if per_fn is None:
@@ -161,7 +170,12 @@ def _gen_program(log_lik_fn, chunk_size, n_obs, dtype_str, sharding):
             raise RuntimeError("log_lik_fn was garbage-collected")
         start = c * chunk_size
         idx = start + jnp.arange(chunk_size, dtype=jnp.int32)
-        return fn(jnp.minimum(idx, n_obs - 1)).astype(dtype)
+        ll = fn(jnp.minimum(idx, n_obs - 1)).astype(dtype)
+        if tiled_k is not None:
+            from .ops.pallas_topk import tile_rows
+
+            return tile_rows(-ll, tiled_k)
+        return ll
 
     if per_fn is not None:
         per_fn[geom_key] = gen
@@ -184,12 +198,8 @@ def _kernel_for(method, tail_max, dtype):
 # geometry reuses one compiled program instead of re-tracing and re-compiling
 # the (expensive) score kernel per call.  Only the user's log_lik_fn is
 # compiled per call.
-@partial(jax.jit, static_argnames=("method", "tail_max"))
-def _accumulate_chunk(ll, c, n_obs, carry, adj=None, *, method, tail_max):
-    chunk = ll.shape[0]
-    idx = c * chunk + jnp.arange(chunk, dtype=jnp.int32)
-    valid = idx < n_obs
-    outs = _kernel_for(method, tail_max, ll.dtype)(ll)
+def _accum_after_scores(carry, valid, outs, adj, method):
+    """Shared accumulation body (traced inside a jitted chunk step)."""
     if len(outs) == 4:  # float32 PSIS fast path: per-row degeneracy flag
         elpd_i, diag, lppd_i, degen = outs
         carry = dict(
@@ -226,6 +236,37 @@ def _accumulate_chunk(ll, c, n_obs, carry, adj=None, *, method, tail_max):
     return carry, elpd_i, diag
 
 
+@partial(jax.jit, static_argnames=("method", "tail_max"))
+def _accumulate_chunk(ll, c, n_obs, carry, adj=None, *, method, tail_max):
+    chunk = ll.shape[0]
+    idx = c * chunk + jnp.arange(chunk, dtype=jnp.int32)
+    valid = idx < n_obs
+    outs = _kernel_for(method, tail_max, ll.dtype)(ll)
+    return _accum_after_scores(carry, valid, outs, adj, method)
+
+
+@partial(
+    jax.jit, static_argnames=("chunk", "s", "tail_max", "interpret")
+)
+def _accumulate_chunk_tiled(
+    xt, c, n_obs, carry, adj=None, *, chunk, s, tail_max, interpret=False
+):
+    """PSIS fast-path chunk step over a pre-tiled generator output.
+
+    The generator emits the Pallas prepass tile layout (``tiled_k``), so the
+    natural ``(chunk, S)`` matrix never touches HBM; this step feeds the
+    tiles straight into the fused kernel.
+    """
+    from .ops.loo_kernels import loo_scores_psis_fast_tiled
+
+    idx = c * chunk + jnp.arange(chunk, dtype=jnp.int32)
+    valid = idx < n_obs
+    outs = loo_scores_psis_fast_tiled(
+        xt, b_in=chunk, s=s, tail_max=tail_max, interpret=interpret
+    )
+    return _accum_after_scores(carry, valid, outs, adj, ISMethod.PSIS)
+
+
 # Mix-IS-LOO chunk step (Silva & Zanella 2022; reference pyloo/loo.py:252-284).
 # The mixture normalizer log_norm = logsumexp_i(-c_i) couples observations,
 # but it is a pure logsumexp reduction over the obs axis — a running scalar
@@ -259,6 +300,36 @@ def _mixture_chunk(ll, c, n_obs, carry, adj=None):
         + jnp.sum(jnp.where(valid, lppd_i, 0.0).astype(acc)),
     )
     return carry, log_obs, jnp.zeros_like(log_obs)
+
+
+# test hook: force the tiled fast path (Pallas kernel in interpret mode) so
+# CPU suites can exercise the tiled streaming layout end to end
+_TILED_FORCE_INTERPRET = False
+
+
+def _tiled_prepass_k(
+    log_lik_fn, method, dtype, mesh, mixture, column_gather, chunk_size,
+    n_draws, tail_max,
+):
+    """Pallas tile width when the tiled generator layout applies, else None.
+
+    The tiled layout rides the float32 PSIS fast path on a real TPU with an
+    unsharded chunk; every other configuration keeps the natural layout.
+    """
+    if mixture or method != ISMethod.PSIS or mesh is not None:
+        return None
+    if column_gather is not None or jnp.dtype(dtype) != jnp.float32:
+        return None
+    if _is_chunk_source(log_lik_fn):
+        return None
+    from .ops.pallas_topk import supports
+    from .ops.selection import _PALLAS_MIN_ROWS
+
+    if chunk_size < _PALLAS_MIN_ROWS or not supports(n_draws, tail_max + 1):
+        return None
+    if not _TILED_FORCE_INTERPRET and jax.default_backend() != "tpu":
+        return None
+    return tail_max + 1
 
 
 @jax.jit
@@ -481,8 +552,13 @@ def loo_streaming(
     # The generator program itself is memoized on the user's function object
     # so REPEATED loo_streaming calls are fully warm (a fresh closure per
     # call would re-pay the generator compile every time).
+    tiled_k = _tiled_prepass_k(
+        log_lik_fn, method, dtype, mesh, mixture, _column_gather,
+        chunk_size, n_draws, tail_max,
+    )
     gen = _gen_program(
-        log_lik_fn, chunk_size, n_obs, str(dtype), _mesh_sharding(mesh)
+        log_lik_fn, chunk_size, n_obs, str(dtype), _mesh_sharding(mesh),
+        tiled_k=tiled_k,
     )
 
     good_k = good_k_threshold(n_draws)
@@ -576,6 +652,12 @@ def loo_streaming(
         if mixture:
             carry, elpd_i, diag = _mixture_chunk(
                 ll, ci, n_obs_dev, carry, adj
+            )
+        elif tiled_k is not None:
+            carry, elpd_i, diag = _accumulate_chunk_tiled(
+                ll, ci, n_obs_dev, carry, adj,
+                chunk=chunk_size, s=n_draws, tail_max=tail_max,
+                interpret=_TILED_FORCE_INTERPRET,
             )
         else:
             carry, elpd_i, diag = _accumulate_chunk(

@@ -484,3 +484,31 @@ class TestProductScanFit:
         elpd_ref = np.log(np.sum(np.exp(np.asarray(lw) + ll), axis=1))
         assert_allclose(e, elpd_ref, rtol=0, atol=1e-10)
         assert_allclose(k, np.asarray(kb), rtol=0, atol=5e-12)
+
+
+class TestFastPathHeavyTails:
+    """End-to-end roundoff-class agreement of the float32 fast scores with
+    the float64 exact scores on heavy-tailed data (pins the fast path's
+    GPD-fit accuracy contract at the kernel level)."""
+
+    S = 1000
+
+    def test_fast_scores_roundoff_close_to_exact(self, rng):
+        import jax.numpy as jnp
+
+        from pyloo_tpu.ops.loo_kernels import (
+            loo_scores_psis,
+            loo_scores_psis_fast,
+        )
+
+        ll = 2.0 * rng.standard_t(3, size=(300, self.S)) - 1.0
+        M = tail_length(self.S, 1.0)
+        e64, k64, _ = map(np.asarray, loo_scores_psis(jnp.asarray(ll), M))
+        e32, k32, _, dg = map(
+            np.asarray,
+            loo_scores_psis_fast(jnp.asarray(ll, jnp.float32), M),
+        )
+        ok = ~np.asarray(dg)
+        assert_allclose(e32[ok], e64[ok], rtol=1e-4, atol=1e-4)
+        fin = ok & np.isfinite(k64) & np.isfinite(k32)
+        assert_allclose(k32[fin], k64[fin], rtol=0, atol=2e-3)

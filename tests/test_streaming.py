@@ -1230,3 +1230,90 @@ class TestReviewFixes:
         assert list(got.index) == list(ref.index)
         for key in ("p_loo", "p_loo_se", "looic", "looic_se"):
             assert_allclose(got[key], ref[key], rtol=1e-9, err_msg=key)
+
+
+class TestTiledGeneratorLayout:
+    """The tiled generator layout (``_tiled_prepass_k``): on a real TPU the
+    float32 PSIS generator emits the Pallas prepass tile layout so the
+    natural (chunk, S) matrix never round-trips HBM.  CPU suites force the
+    path with the kernel in interpret mode and pin it against the natural
+    layout end to end."""
+
+    def _data(self, rng, b=200, s=600):
+        ll = rng.normal(-1.0, 0.9, size=(b, s))
+        return jnp.asarray(ll, jnp.float32), b, s
+
+    def test_forced_tiled_matches_natural(self, rng_module):
+        import pyloo_tpu.streaming as st
+
+        ll_dev, b, s = self._data(rng_module)
+        r_nat = pl.loo_streaming(
+            lambda i: ll_dev[i], b, s, chunk_size=128,
+            dtype=jnp.float32, pointwise=True,
+        )
+        st._TILED_FORCE_INTERPRET = True
+        try:
+            st.clear_streaming_cache()
+            r_til = pl.loo_streaming(
+                lambda i: ll_dev[i], b, s, chunk_size=128,
+                dtype=jnp.float32, pointwise=True,
+            )
+        finally:
+            st._TILED_FORCE_INTERPRET = False
+            st.clear_streaming_cache()
+        assert_allclose(
+            float(r_til["elpd_loo"]), float(r_nat["elpd_loo"]), rtol=1e-6
+        )
+        assert_allclose(
+            np.asarray(r_til.loo_i.values),
+            np.asarray(r_nat.loo_i.values),
+            rtol=1e-5,
+            atol=1e-5,
+        )
+        assert_allclose(
+            np.asarray(r_til.pareto_k.values),
+            np.asarray(r_nat.pareto_k.values),
+            rtol=0,
+            atol=1e-4,
+        )
+
+    def test_tiled_gate_declines_unsupported_configs(self, rng_module):
+        """The gate keys off method/dtype/mesh/backend — every declining
+        configuration must return None (natural layout)."""
+        from pyloo_tpu.base import ISMethod
+        from pyloo_tpu.streaming import _tiled_prepass_k
+
+        fn = lambda i: i  # noqa: E731 - placeholder callable
+        common = dict(
+            mesh=None, mixture=False, column_gather=None,
+            chunk_size=1024, n_draws=600, tail_max=73,
+        )
+        assert (
+            _tiled_prepass_k(
+                fn, ISMethod.PSIS, jnp.float64, **common
+            )
+            is None
+        )
+        assert (
+            _tiled_prepass_k(fn, ISMethod.SIS, jnp.float32, **common)
+            is None
+        )
+        assert (
+            _tiled_prepass_k(
+                fn, ISMethod.PSIS, jnp.float32,
+                **dict(common, mixture=True),
+            )
+            is None
+        )
+        assert (
+            _tiled_prepass_k(
+                fn, ISMethod.PSIS, jnp.float32,
+                **dict(common, chunk_size=64),
+            )
+            is None
+        )
+        # on the CPU test backend the real-TPU gate declines too
+        assert (
+            _tiled_prepass_k(fn, ISMethod.PSIS, jnp.float32, **common)
+            is None
+        )

@@ -1317,3 +1317,35 @@ class TestTiledGeneratorLayout:
             _tiled_prepass_k(fn, ISMethod.PSIS, jnp.float32, **common)
             is None
         )
+
+
+class TestResolveChunk:
+    """Default chunk sizing splits the sweep evenly (no ragged padded tail)."""
+
+    def test_even_split_at_budget(self):
+        from pyloo_tpu.streaming import _resolve_chunk
+
+        c, n = _resolve_chunk(None, 1_000_000, 4000, jnp.dtype(jnp.float32), None)
+        assert (c, n) == (125_000, 8)  # 8 x 2 GB, zero padding
+        # padding never exceeds the rounding multiple
+        for n_obs in (103, 999, 1_048_576, 7):
+            c, n = _resolve_chunk(None, n_obs, 500, jnp.dtype(jnp.float64), None)
+            assert n * c - n_obs < 8
+            assert c * 500 * 8 <= (2 << 30) + 8 * 500 * 8
+
+    def test_explicit_size_unchanged(self):
+        from pyloo_tpu.streaming import _resolve_chunk
+
+        c, n = _resolve_chunk(100, 1000, 50, jnp.dtype(jnp.float64), None)
+        assert (c, n) == (96, 11)  # historical round-down semantics
+
+    def test_mesh_multiple(self):
+        from jax.sharding import Mesh
+
+        from pyloo_tpu.streaming import _resolve_chunk
+
+        devs = np.asarray(jax.devices()[:8])
+        mesh = Mesh(devs, ("obs",))
+        c, n = _resolve_chunk(None, 1000, 100, jnp.dtype(jnp.float64), mesh)
+        assert c % 8 == 0
+        assert n * c - 1000 < 8

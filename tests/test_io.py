@@ -107,6 +107,43 @@ def test_out_of_order_reads(ll_file, ll_matrix, native):
     assert_array_equal(c2, ll_matrix[64:96])
 
 
+@pytest.mark.skipif(not HAVE_NATIVE, reason="no C++ compiler")
+def test_forward_skip_never_deadlocks(ll_file, ll_matrix):
+    # Skipping chunks FORWARD inside the prefetch window used to be able to
+    # wedge the ring: the producer blocked on a stale full slot between the
+    # cursor and the requested chunk while the consumer waited for that
+    # chunk to appear.  The reader must detect the undeliverable path and
+    # reset instead.  Run under a watchdog so a regression fails, not hangs.
+    import threading
+
+    chunk_rows = 8  # 16 chunks of the 123-row file
+    n_chunks = -(-N_OBS // chunk_rows)
+    patterns = [
+        [0, 1, 2, 3, 6, 10],          # skip inside the window, twice
+        [0, 3, 1, 7, 2, 9, 15],       # interleaved skips + backward seeks
+        [2, 5, 8, 11, 14],            # stride-3 walk, always skipping
+        list(range(0, n_chunks, 2)),  # stride-2 full pass
+    ]
+    failures: list[str] = []
+
+    def run():
+        for pat in patterns:
+            with NpyLogLik(ll_file, depth=4, native=True) as src:
+                for c in pat:
+                    got = src.read_rows(c * chunk_rows, chunk_rows)
+                    lo = c * chunk_rows
+                    hi = min(lo + chunk_rows, N_OBS)
+                    if not np.array_equal(got[: hi - lo], ll_matrix[lo:hi]):
+                        failures.append(f"pattern {pat}: wrong data at {c}")
+                        return
+
+    t = threading.Thread(target=run, daemon=True)
+    t.start()
+    t.join(timeout=60.0)
+    assert not t.is_alive(), "native reader deadlocked on a forward skip"
+    assert not failures, failures
+
+
 def test_three_dim_layout(tmp_path):
     # (n_obs, n_chains, n_draws) flattens chains into draws, matching the
     # in-memory __sample__ stacking (obs-major file layouts keep rows

@@ -191,32 +191,18 @@ int64_t cr_read(void* handle, int64_t chunk, char* dst) {
     // chunk whenever the consumer outpaces the disk — the exact regime the
     // prefetcher exists for.
     //
-    // "On track" must be PROVABLE delivery: the producer only frees slots
-    // via this function, so if any slot it must write on the way to `chunk`
-    // (ring positions of chunks cursor..chunk) is already full — or the
-    // pread in flight will land in one of them with a different chunk —
-    // waiting here would deadlock (producer blocked on cv_freed, consumer
-    // on cv_produced).  Forward skips inside the window can create exactly
-    // that state; they take the reset path instead.
-    const int64_t depth = (int64_t)r->slots.size();
-    bool on_track = !r->io_error && r->in_flight == chunk;
-    if (!r->io_error && !on_track && r->cursor <= chunk &&
-        chunk < r->cursor + depth) {
-      bool path_free = true;
-      for (int64_t c = r->cursor; c <= chunk; ++c) {
-        const Slot& s = r->slots[static_cast<size_t>(c % depth)];
-        if (s.full) {
-          path_free = false;
-          break;
-        }
-      }
-      // the in-flight pread writes slot (in_flight % depth); it aliases a
-      // path slot iff chunk - in_flight >= depth
-      if (r->in_flight >= 0 && chunk - r->in_flight >= depth) {
-        path_free = false;
-      }
-      on_track = path_free;
-    }
+    // "On track" must be PROVABLE delivery: waiting is only safe when the
+    // producer reaches `chunk` without needing a slot freed, else both
+    // sides block forever (producer on cv_freed for a stale full slot,
+    // consumer on cv_produced).  In sequential consumption a missed chunk
+    // is always either the one being pread right now (in_flight) or the
+    // very next one the producer will claim (cursor) — both provably
+    // deliverable.  Everything else is a skip or seek: reset the pipeline
+    // to start at `chunk` (also the cheaper choice — a forward skip has no
+    // use for the bypassed chunks, and a checkpoint resume at k < depth
+    // should not read chunks 0..k-1 first).
+    bool on_track =
+        !r->io_error && (r->in_flight == chunk || r->cursor == chunk);
     if (!on_track || (slot->full && slot->chunk != chunk)) {
       for (Slot& s : r->slots) {
         s.full = false;

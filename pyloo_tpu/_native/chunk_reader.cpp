@@ -89,6 +89,21 @@ int64_t read_chunk_sync(Reader* r, int64_t chunk, char* dst) {
   return rows;
 }
 
+// Restart the prefetch pipeline at `chunk`: drop every buffered slot, void
+// any pread in flight (generation bump), and point the producer's cursor at
+// the requested chunk.  Caller holds r->m.
+void reset_pipeline(Reader* r, int64_t chunk) {
+  for (Slot& s : r->slots) {
+    s.full = false;
+    s.chunk = -1;
+  }
+  r->io_error = false;
+  r->cursor = chunk;
+  r->in_flight = -1;
+  r->generation += 1;  // discard any pread currently in flight
+  r->cv_freed.notify_all();
+}
+
 void producer_loop(Reader* r) {
   for (;;) {
     std::unique_lock<std::mutex> lk(r->m);
@@ -204,18 +219,23 @@ int64_t cr_read(void* handle, int64_t chunk, char* dst) {
     bool on_track =
         !r->io_error && (r->in_flight == chunk || r->cursor == chunk);
     if (!on_track || (slot->full && slot->chunk != chunk)) {
-      for (Slot& s : r->slots) {
-        s.full = false;
-        s.chunk = -1;
-      }
-      r->io_error = false;
-      r->cursor = chunk;
-      r->in_flight = -1;
-      r->generation += 1;  // discard any pread currently in flight
-      r->cv_freed.notify_all();
+      reset_pipeline(r, chunk);
     }
     while (!(slot->full && slot->chunk == chunk) && !r->io_error) {
       r->cv_produced.wait(lk);
+      // The on-track test above can be invalidated WHILE we wait when the
+      // requested chunk and an earlier in-flight chunk alias the same ring
+      // slot (depth=1: any skip; depth=d: skip landing on in_flight+d).
+      // E.g. depth=1, in_flight=1, request chunk 2: cursor==2 says on-track,
+      // but the producer lands chunk 1 into the only slot and then blocks on
+      // cv_freed — while we'd wait here forever for chunk 2.  A full slot
+      // holding the wrong chunk can only ever be freed by this consumer, so
+      // the pipeline is provably wedged: reset it at `chunk` and keep
+      // waiting.  The reset also voids the stale wake case where a previous
+      // generation's pread completes after we were woken for io_error.
+      if (slot->full && slot->chunk != chunk) {
+        reset_pipeline(r, chunk);
+      }
     }
     if (r->io_error) return -1;
   }

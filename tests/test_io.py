@@ -108,40 +108,91 @@ def test_out_of_order_reads(ll_file, ll_matrix, native):
 
 
 @pytest.mark.skipif(not HAVE_NATIVE, reason="no C++ compiler")
-def test_forward_skip_never_deadlocks(ll_file, ll_matrix):
+@pytest.mark.parametrize("depth", [1, 2, 4])
+def test_forward_skip_never_deadlocks(ll_file, ll_matrix, depth):
     # Skipping chunks FORWARD inside the prefetch window used to be able to
-    # wedge the ring: the producer blocked on a stale full slot between the
-    # cursor and the requested chunk while the consumer waited for that
-    # chunk to appear.  The reader must detect the undeliverable path and
-    # reset instead.  Run under a watchdog so a regression fails, not hangs.
+    # wedge the ring two ways: (a) the producer blocked on a stale full slot
+    # between the cursor and the requested chunk while the consumer waited
+    # for that chunk to appear; (b) at small depth, the requested chunk and
+    # the chunk mid-pread alias the SAME ring slot (depth=1: any skip-by-one,
+    # like consume 0 then request 2 while 1 is in flight), so the "on track"
+    # wait admitted a chunk that could never land.  The reader must detect
+    # both undeliverable paths and reset instead.  Run every pattern at every
+    # ring depth under a watchdog so a regression fails, not hangs.
     import threading
 
     chunk_rows = 8  # 16 chunks of the 123-row file
     n_chunks = -(-N_OBS // chunk_rows)
     patterns = [
+        [0, 2, 4],                    # consume-then-skip-by-one: at depth=1
+                                      # chunk 2 aliases in-flight chunk 1
         [0, 1, 2, 3, 6, 10],          # skip inside the window, twice
         [0, 3, 1, 7, 2, 9, 15],       # interleaved skips + backward seeks
         [2, 5, 8, 11, 14],            # stride-3 walk, always skipping
         list(range(0, n_chunks, 2)),  # stride-2 full pass
+        [0, 1 + depth, 2 + depth],    # skip landing exactly depth past the
+                                      # in-flight chunk (same-slot alias)
     ]
     failures: list[str] = []
 
     def run():
         for pat in patterns:
-            with NpyLogLik(ll_file, depth=4, native=True) as src:
-                for c in pat:
+            for _ in range(10):  # repeat: slot aliasing needs the pread
+                # to still be in flight at request time, a timing race
+                with NpyLogLik(ll_file, depth=depth, native=True) as src:
+                    for c in pat:
+                        got = src.read_rows(c * chunk_rows, chunk_rows)
+                        lo = c * chunk_rows
+                        hi = min(lo + chunk_rows, N_OBS)
+                        if not np.array_equal(
+                            got[: hi - lo], ll_matrix[lo:hi]
+                        ):
+                            failures.append(
+                                f"pattern {pat}: wrong data at {c}"
+                            )
+                            return
+
+    t = threading.Thread(target=run, daemon=True)
+    t.start()
+    t.join(timeout=120.0)
+    assert not t.is_alive(), (
+        f"native reader deadlocked on a forward skip at depth={depth}"
+    )
+    assert not failures, failures
+
+
+@pytest.mark.skipif(not HAVE_NATIVE, reason="no C++ compiler")
+def test_skip_while_in_flight_depth1(tmp_path_factory):
+    # Deterministic repro of the depth=1 slot-aliasing deadlock: with one
+    # ring slot, consume chunk 0, give the producer time to CLAIM chunk 1
+    # (cursor→2, in_flight=1), then request chunk 2 mid-pread.  The buggy
+    # on-track test (cursor == chunk) waited; chunk 1 then landed in the only
+    # slot and the producer blocked on cv_freed — permanent wedge.  Large
+    # chunks (4 MB) widen the in-flight window so the race fires reliably;
+    # verified to deadlock the pre-fix reader on every run of 40 trials.
+    import threading
+    import time
+
+    row_elems, chunk_rows, n_rows = 8192, 64, 64 * 12  # 4 MB chunks
+    path = tmp_path_factory.mktemp("ddl") / "big.npy"
+    data = np.arange(n_rows * row_elems, dtype=np.float64)
+    np.save(path, data.reshape(n_rows, row_elems))
+
+    def run():
+        for _ in range(40):
+            with NpyLogLik(str(path), depth=1, native=True) as src:
+                for c in [0, 2, 4, 6, 8]:
                     got = src.read_rows(c * chunk_rows, chunk_rows)
-                    lo = c * chunk_rows
-                    hi = min(lo + chunk_rows, N_OBS)
-                    if not np.array_equal(got[: hi - lo], ll_matrix[lo:hi]):
-                        failures.append(f"pattern {pat}: wrong data at {c}")
-                        return
+                    assert got[0, 0] == c * chunk_rows * row_elems
+                    time.sleep(2e-4)  # let the producer claim the next chunk
 
     t = threading.Thread(target=run, daemon=True)
     t.start()
     t.join(timeout=60.0)
-    assert not t.is_alive(), "native reader deadlocked on a forward skip"
-    assert not failures, failures
+    assert not t.is_alive(), (
+        "native reader deadlocked: depth=1 skip while the aliased chunk"
+        " was in flight"
+    )
 
 
 def test_three_dim_layout(tmp_path):

@@ -102,6 +102,7 @@ from .psis import CompactWeights, psislw, psislw_compact
 from .rcparams import rcParams
 from .sis import sislw
 from .tis import tislw
+from .ingest import convert_foreign, from_netcdf, from_numpyro, save_netcdf
 from .utils import from_dict, get_log_likelihood, to_inference_data
 from .waic import waic
 
@@ -192,7 +193,11 @@ __all__ = [
     "sislw",
     "tislw",
     "rcParams",
+    "convert_foreign",
     "from_dict",
+    "from_netcdf",
+    "from_numpyro",
+    "save_netcdf",
     "get_log_likelihood",
     "to_inference_data",
     "load_example_data",

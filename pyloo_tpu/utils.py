@@ -82,11 +82,17 @@ def from_dict(
 def to_inference_data(obj: Any) -> InferenceData:
     """Convert supported objects to :class:`InferenceData`.
 
-    Supported: :class:`InferenceData` (returned as-is), anything exposing a
-    ``to_inference_data()`` method, ``dict`` of array-likes (treated as the
-    posterior group), :class:`Dataset`, and bare ndarrays of shape
-    ``(chain, draw, ...)``.
+    Supported (matching the reach of the reference's arviz-backed converter,
+    ``pyloo/utils.py:21-79``): :class:`InferenceData` (returned as-is),
+    anything exposing a ``to_inference_data()`` method, a **netCDF file
+    path** (``str``/``os.PathLike``), a **foreign arviz-style
+    InferenceData** (duck-typed group/Dataset attribute protocol - e.g. the
+    idata from ``pymc.sample`` or ``arviz.from_numpyro``), ``dict`` of
+    array-likes (treated as the posterior group), :class:`Dataset`, and bare
+    ndarrays of shape ``(chain, draw, ...)``.
     """
+    import os
+
     if isinstance(obj, InferenceData):
         return obj
 
@@ -95,6 +101,11 @@ def to_inference_data(obj: Any) -> InferenceData:
         if isinstance(converted, InferenceData):
             return converted
 
+    if isinstance(obj, (str, os.PathLike)):
+        from .ingest import from_netcdf
+
+        return from_netcdf(obj)
+
     if isinstance(obj, (list, tuple)):
         raise ValueError(
             "Lists and tuples cannot be converted to InferenceData directly"
@@ -102,6 +113,11 @@ def to_inference_data(obj: Any) -> InferenceData:
 
     if isinstance(obj, Dataset):
         return InferenceData(posterior=obj)
+
+    from .ingest import convert_foreign, looks_like_foreign_idata
+
+    if looks_like_foreign_idata(obj):
+        return convert_foreign(obj)
 
     if isinstance(obj, dict):
         if not all(

@@ -27,9 +27,11 @@ import time
 
 import jax
 
-# NOTE: do not enable the persistent compilation cache here — loading a
-# cached executable hangs under the axon remote-compile plugin (verified:
-# cache-write runs succeed, cache-read runs block indefinitely).
+# NOTE: the persistent compilation cache must stay OFF under the axon
+# remote-compile plugin (verified: cache-write runs succeed, cache-read runs
+# block indefinitely).  pyloo_tpu's rcParams["device.compilation_cache"]
+# default "auto" detects axon via JAX_PLATFORMS and skips it — no manual
+# config needed here.
 
 import jax.numpy as jnp
 
@@ -69,17 +71,24 @@ def bench_streaming_api(dev):
     # rows) leaves a ragged last chunk whose padding is wasted compute;
     # 250k chunks measured slower (HBM pressure), 125k is the sweet spot
     kw = dict(dtype=jnp.float32, chunk_size=125_000)
-    # cold first call: pays the loop-program + generator compiles AND the
-    # result is served by the identity-keyed _gen_program memoization on the
-    # second call — both walls are recorded (the warm one is the headline,
-    # the cold one keeps vs_baseline comparable with pre-memoization rounds)
+    # Round 4 cold-start protocol: pl.warmup() AOT-compiles the heavy
+    # chunk-step programs at startup (the documented production pattern),
+    # so the "cold" first real call pays only the user-generator compile.
+    # warmup_wall_s records the startup cost that moved out of first-call
+    # latency; warmup+cold together stay comparable with the r1-r3
+    # api_loo_streaming_cold_wall_s (which had no warmup).
+    import pyloo_tpu as pl
+
+    t0 = time.perf_counter()
+    pl.warmup(TOTAL_OBS, N_DRAWS, **kw)
+    warmup_wall = time.perf_counter() - t0
     t0 = time.perf_counter()
     r = loo_streaming(log_lik_fn, TOTAL_OBS, N_DRAWS, **kw)
     cold_wall = time.perf_counter() - t0
     t0 = time.perf_counter()
     r = loo_streaming(log_lik_fn, TOTAL_OBS, N_DRAWS, **kw)
     wall = time.perf_counter() - t0
-    return wall, cold_wall, float(r["elpd_loo"])
+    return wall, cold_wall, warmup_wall, float(r["elpd_loo"])
 
 
 def bench_draw_sweep():
@@ -203,7 +212,7 @@ def main():
 
     obs_per_sec = TOTAL_OBS / wall
 
-    api_wall, api_cold_wall, api_elpd = bench_streaming_api(dev)
+    api_wall, api_cold_wall, api_warmup_wall, api_elpd = bench_streaming_api(dev)
     f64_wall, f64_settle = bench_exact_f64(base)
     del base
     draw_sweep = bench_draw_sweep()
@@ -228,11 +237,14 @@ def main():
             "n_draws": N_DRAWS,
             "api_loo_streaming_wall_s": round(api_wall, 3),
             "api_loo_streaming_cold_wall_s": round(api_cold_wall, 3),
+            "api_warmup_wall_s": round(api_warmup_wall, 3),
             "api_loo_streaming_elpd": round(api_elpd, 1),
             "metric_note": (
                 "headline is the warm 2nd loo_streaming call (generator"
-                " memoized); cold 1st-call wall incl. compiles recorded for"
-                " cross-round comparability"
+                " memoized); round 4+: pl.warmup() precompiles the chunk"
+                " programs at startup (api_warmup_wall_s), so cold_wall is"
+                " first-call latency AFTER warmup (generator compile only);"
+                " warmup+cold together compare with r1-r3 cold_wall"
             ),
             "device": str(dev),
             "dtype": "float32",

@@ -104,6 +104,14 @@ from .sis import sislw
 from .tis import tislw
 from .ingest import convert_foreign, from_netcdf, from_numpyro, save_netcdf
 from .utils import from_dict, get_log_likelihood, to_inference_data
+from .warmup import warmup
+from .warmup import _apply_compilation_cache as _pyloo_apply_compilation_cache
+
+# Persistent XLA compilation cache (rcParams["device.compilation_cache"]):
+# configured at import — JAX reads the setting lazily at first compile, so
+# this costs nothing and never initializes a backend.  "auto" skips the
+# axon remote-compile plugin, where cached-executable loads hang.
+_pyloo_apply_compilation_cache()
 from .waic import waic
 
 __version__ = "0.1.0"
@@ -200,5 +208,6 @@ __all__ = [
     "save_netcdf",
     "get_log_likelihood",
     "to_inference_data",
+    "warmup",
     "load_example_data",
 ]

@@ -41,6 +41,12 @@ _DEFAULTS: dict[str, tuple[Any, Callable[[Any], Any]]] = {
     # shard the observation axis of (n_obs, n_samples) arrays across all
     # visible devices when more than one device is present.
     "device.auto_shard": (True, _bool_validator),
+    # persistent XLA compilation cache: "auto" enables it except under the
+    # axon remote-compile plugin (loading a cached executable hangs there —
+    # verified; the axon server keeps its own remote cache), "on" forces it,
+    # "off" disables.  Applied lazily at the first pyloo_tpu compile via
+    # pyloo_tpu.warmup/_apply_compilation_cache.
+    "device.compilation_cache": ("auto", _choice_validator("auto", "on", "off")),
 }
 
 

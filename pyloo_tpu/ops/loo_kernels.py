@@ -292,13 +292,20 @@ def loo_scores_psis_fast(log_lik, tail_max: int):
     M = tail_max
     cutoff_floor = jnp.asarray(_CUTOFF_FLOOR, dtype)
 
-    from .selection import _pallas_applicable
+    from .selection import fast_path_route
 
-    use_fused = _pallas_applicable(x_raw, M + 1)
-    if use_fused:
+    route = fast_path_route(B, S, M + 1, dtype)
+    use_fused = route != "cascade"
+    if route == "pallas":
         from .pallas_topk import pallas_loo_prepass
 
         vals, C1, log_ntl, log_sum_ll = pallas_loo_prepass(x_raw, M + 1)
+    elif route == "pallas-multipass":
+        from .pallas_topk import multipass_parts, pallas_loo_prepass_multi
+
+        vals, C1, log_ntl, log_sum_ll = pallas_loo_prepass_multi(
+            x_raw, M + 1, parts=multipass_parts(S, M + 1)
+        )
     else:
         C1 = jnp.max(x_raw, axis=1)
         x = x_raw - C1[:, None]

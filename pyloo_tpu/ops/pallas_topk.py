@@ -54,13 +54,23 @@ _LANES = 128
 
 
 def _list_height(k: int) -> int | None:
-    """Smallest supported per-lane list height covering ``k`` (256 or 512)."""
+    """Smallest supported per-lane list height covering ``k``.
+
+    256/512/1024-tall lists; the sort body (:func:`_sort_roll`) is
+    parametric in the height, so taller lists cost only more compare-
+    exchange stages (n log^2 n) and VMEM (a (1024, 128) f32 tile is 512 KB;
+    blk=4 double-buffered is ~4 MB, well inside a TPU core's VMEM).  1024
+    matters because the PSIS tail k = 3*sqrt(S/reff)+1 outgrows 512 at
+    S ~ 29k draws — the k-cap, not the S-cap, bounded the fast path.
+    """
     if k <= 0:
         return None
     if k <= 256:
         return 256
     if k <= 512:
         return 512
+    if k <= 1024:
+        return 1024
     return None
 
 # tracing the fully unrolled sort network (~100 stages x 4 row-blocks of
@@ -70,13 +80,34 @@ if sys.getrecursionlimit() < 100_000:
 
 
 def supports(s: int, k: int) -> bool:
-    """Shapes this kernel handles: k <= 512 and <= 64 segments per row.
+    """Shapes one kernel pass handles: k <= 1024 and <= 64 segments per row.
 
-    k <= 256 uses 256-tall per-lane lists (S up to 16384); 256 < k <= 512
-    uses 512-tall lists (S up to 32768).
+    k <= 256 uses 256-tall per-lane lists (S up to 16384); k <= 512 uses
+    512-tall lists (S up to 32768); k <= 1024 uses 1024-tall lists (S up to
+    65536 — covers the reff=1 PSIS tail, k = 3*sqrt(S)+1, for every S in
+    range).  Beyond the S cap, :func:`multipass_parts` splits the draw axis
+    into independently-supported parts whose results merge exactly.
     """
     n = _list_height(k)
     return n is not None and 2 <= s <= n * 64
+
+
+def multipass_parts(s: int, k: int, max_parts: int = 16) -> int | None:
+    """Draw-axis part count for the multipass prepass (1 = single pass).
+
+    ``None`` when no split helps: k > 1024 (the per-part top-k must be the
+    full global k for the merge to stay exact — a part cannot return more
+    than its list height), or more than ``max_parts`` parts would be
+    needed.
+    """
+    n = _list_height(k)
+    if n is None or s < 2:
+        return None
+    cap = n * 64
+    if s <= cap:
+        return 1
+    parts = -(-s // cap)
+    return parts if parts <= max_parts else None
 
 
 def _cmpex_desc(v, j: int):
@@ -399,6 +430,89 @@ def pallas_loo_prepass(x_raw, k: int, *, interpret: bool = False, blk: int = 4):
     return pallas_loo_prepass_tiled(
         xt, b_in, s, k, interpret=interpret, blk=blk
     )
+
+
+@partial(jax.jit, static_argnames=("k", "parts", "interpret", "blk"))
+def pallas_loo_prepass_multi(
+    x_raw, k: int, *, parts: int, interpret: bool = False, blk: int = 4
+):
+    """:func:`pallas_loo_prepass` for S beyond one pass's 64-segment cap.
+
+    Splits the draw axis into ``parts`` equal slices (each within
+    :func:`supports`), runs the fused prepass per slice, and merges exactly
+    on the XLA side:
+
+    * top-k: the global top-k is a subset of the union of per-part top-k's
+      (each part returns the full k), so top-k of the rebased concatenation
+      is exact;
+    * row max C: max over parts; per-part values rebase by ``C_p - C``;
+    * non-tail mass: each part's mass below its OWN cutoff, plus the part's
+      top-k values that sit between its cutoff and the merged cutoff —
+      addition only (the merged cutoff provably >= every rebased part
+      cutoff), so no catastrophic cancellation;
+    * lppd logsumexp: ``logaddexp`` across parts.
+
+    Same output contract as :func:`pallas_loo_prepass`.
+    """
+    b_in, s = x_raw.shape
+    if parts < 2:
+        return pallas_loo_prepass(x_raw, k, interpret=interpret, blk=blk)
+    part_s = -(-s // parts)
+    if not supports(part_s, k):
+        raise ValueError(
+            f"multipass prepass: part width {part_s} (S={s}, parts={parts})"
+            f" is unsupported for k={k}"
+        )
+    pad = parts * part_s - s
+    if pad:
+        x_raw = jnp.pad(
+            x_raw, ((0, 0), (0, pad)), constant_values=-jnp.inf
+        )  # -inf = zero mass; the kernel masks it out of every reduction
+
+    vals_p, c_p, ntl_p, ll_p = [], [], [], []
+    for p in range(parts):
+        sl = x_raw[:, p * part_s : (p + 1) * part_s]
+        v, c, ntl, ll = pallas_loo_prepass(sl, k, interpret=interpret, blk=blk)
+        vals_p.append(v)
+        c_p.append(c)
+        ntl_p.append(ntl)
+        ll_p.append(ll)
+
+    import numpy as _np
+
+    floor = jnp.asarray(_np.log(_np.finfo(_np.float64).tiny), x_raw.dtype)
+    c_all = jnp.stack(c_p, axis=0)            # (parts, B)
+    c_row = jnp.max(c_all, axis=0)            # (B,)
+    shifts = c_all - c_row[None, :]           # <= 0
+    rebased = [v + shifts[p][:, None] for p, v in enumerate(vals_p)]
+    allv = jnp.concatenate(rebased, axis=1)   # (B, parts*k)
+
+    from .selection import topk_vals_desc
+
+    vals = topk_vals_desc(allv, k)
+    xcut = jnp.maximum(vals[:, k - 1], floor)  # merged cutoff (B,)
+
+    # non-tail mass relative to C (exp domain: all values <= 0, sums <= S)
+    ntl_mass = jnp.zeros_like(c_row)
+    for p in range(parts):
+        ntl_mass = ntl_mass + jnp.exp(ntl_p[p] + shifts[p])
+        # exclusion side in the PART's own domain (bit-identical to the
+        # test the kernel used when it built ntl_p — rebasing both sides
+        # first can flip the order under f32 rounding and double-count or
+        # drop a boundary element); inclusion side in the merged domain
+        xcut_p = jnp.maximum(vals_p[p][:, k - 1], floor)
+        between = (vals_p[p] > xcut_p[:, None]) & (
+            rebased[p] <= xcut[:, None]
+        )
+        ntl_mass = ntl_mass + jnp.sum(
+            jnp.where(between, jnp.exp(rebased[p]), 0.0), axis=1
+        )
+    log_ntl = jnp.log(ntl_mass)
+
+    log_sum_ll = ll_p[0]
+    for p in range(1, parts):
+        log_sum_ll = jnp.logaddexp(log_sum_ll, ll_p[p])
+    return vals, c_row, log_ntl, log_sum_ll
 
 
 @partial(

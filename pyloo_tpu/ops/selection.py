@@ -52,6 +52,36 @@ def _pallas_applicable(x, k: int) -> bool:
     return supports(x.shape[-1], k)
 
 
+def fast_path_route(b: int, s: int, k: int, dtype) -> str:
+    """Which selection path ``loo_scores_psis_fast`` takes for (B, S, k).
+
+    One source of truth for the kernel dispatch AND for benchmark/diagnostic
+    reporting, so no regime is a silent fallback:
+
+    * ``"pallas"`` — one fused prepass pass (TPU, float32, B >= 128,
+      ``supports(S, k)``: k <= 1024, S <= 64 * list_height);
+    * ``"pallas-multipass"`` — draw-axis split into <= 16 supported parts
+      with an exact XLA-side merge (S beyond one pass's segment cap);
+    * ``"cascade"`` — the exact segmented ``approx_max_k`` cascade
+      (portable path: CPU, float64, k > 1024, or B < 128 where one grid
+      step would be mostly padding).
+    """
+    if (
+        jax.default_backend() != "tpu"
+        or jnp.dtype(dtype) != jnp.float32
+        or b < _PALLAS_MIN_ROWS
+    ):
+        return "cascade"
+    from .pallas_topk import multipass_parts, supports
+
+    if supports(s, k):
+        return "pallas"
+    parts = multipass_parts(s, k)
+    if parts is not None and parts > 1:
+        return "pallas-multipass"
+    return "cascade"
+
+
 def topk_vals_desc(x, k: int):
     """Exact top-k values of each row of ``x``, descending.  (B, S) -> (B, k).
 
@@ -66,10 +96,15 @@ def topk_vals_desc(x, k: int):
         return pallas_topk_desc(x, k, variant="roll")
     if k == s:
         return jnp.sort(x, axis=-1, descending=True)
-    if s < _MIN_CASCADE_WIDTH or _SEGMENT_WIDTH < 2 * k:
+    # the segment must hold at least 2k so stage 1 shrinks the width; for
+    # large k (e.g. the PSIS tail at S > 29k draws: k = 3*sqrt(S)+1 > 500)
+    # the fixed 1000-wide segments would silently degrade to a full-width
+    # single-stage sort — scale the width with k instead
+    seg_width = max(_SEGMENT_WIDTH, 2 * k)
+    if s < max(_MIN_CASCADE_WIDTH, 2 * seg_width):
         return _single(x, k)
 
-    g = max(s // _SEGMENT_WIDTH, 2)
+    g = max(s // seg_width, 2)
     seg = -(-s // g)  # ceil; pad the ragged tail with -inf
     pad = g * seg - s
     if pad:

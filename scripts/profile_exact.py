@@ -2,7 +2,7 @@
 
 Residents are pre-cast to f64 (bench.py round-3 methodology) and salted via
 a 64-row dynamic_update_slice so no cast/salt artifact lands in any timed
-stage.  Run on the axon TPU: python scripts/profile_exact_r3.py
+stage.  Run on the axon TPU: python scripts/profile_exact.py
 """
 
 import sys

@@ -311,9 +311,10 @@ class TestPallasEnvelope:
         assert supports(8000, 270)      # the 4x2000-draw posterior
         assert supports(16384, 256)
         assert supports(32768, 512)
-        assert not supports(32769, 512)
         assert not supports(16385, 256) or supports(16385, 257)
-        assert not supports(4000, 513)  # k beyond two lists
+        assert supports(32769, 513)     # the 1024-tall tier picks up
+        assert not supports(65537, 1024)  # S beyond 64 segments
+        assert not supports(4000, 1025)   # k beyond the tallest list
         assert not supports(1, 1)       # degenerate width
 
     def test_ties_crossing_segment_boundaries(self, rng):
@@ -397,3 +398,139 @@ class TestPallasEnvelope:
         want_vals = jax.lax.top_k(x_raw - C[:, None], 192)[0]
         _assert_same_vals(vals, want_vals)
         assert np.isfinite(np.asarray(log_sum_ll)).all()
+
+
+class TestLargeSEnvelope:
+    """S > 32768 regime: 1024-tall lists, the multipass draw-split merge,
+    and the k-adaptive exact cascade (VERDICT r3 item 4 - no regime may be
+    a silent fallback)."""
+
+    def test_supports_1024_tier(self):
+        from pyloo_tpu.ops.pallas_topk import multipass_parts, supports
+
+        # the reff=1 PSIS tail k = 3*sqrt(S)+1 now fits one pass to S=65536
+        assert supports(65536, 769)
+        assert supports(65536, 1024)
+        assert not supports(65537, 1024)      # S beyond 64 segments
+        assert not supports(4000, 1025)       # k beyond the tallest list
+        # multipass extends the S cap (never the k cap)
+        assert multipass_parts(16384, 256) == 1
+        assert multipass_parts(65537, 1024) == 2
+        assert multipass_parts(100_000, 950) == 2
+        assert multipass_parts(150_000, 200) == 10
+        assert multipass_parts(100_000, 1087) is None   # k > 1024
+        assert multipass_parts(2_000_000, 256) is None  # > 16 parts
+
+    @pytest.mark.slow
+    def test_topk_1024_list(self, rng):
+        from pyloo_tpu.ops.pallas_topk import pallas_topk_desc
+
+        x = jnp.asarray(rng.normal(size=(3, 34_000)), jnp.float32)
+        got = pallas_topk_desc(x, 600, interpret=True, blk=1)
+        _assert_same_vals(got, _topk_want(x, 600))
+
+    @pytest.mark.slow
+    def test_prepass_65536_full_psis_tail(self, rng):
+        from pyloo_tpu.ops.lse import logsumexp
+        from pyloo_tpu.ops.pallas_topk import pallas_loo_prepass
+
+        s, k = 65_536, 769  # S cap, reff=1 tail
+        ll = rng.normal(-1, 0.8, size=(4, s))
+        ll[1] = -np.abs(rng.standard_t(2, size=s)) * 3  # heavy tail row
+        x_raw = jnp.asarray(-ll, jnp.float32)
+        vals, c1, log_ntl, log_sum_ll = pallas_loo_prepass(
+            x_raw, k, interpret=True, blk=1
+        )
+        C = jnp.max(x_raw, axis=1)
+        want_vals = jax.lax.top_k(x_raw - C[:, None], k)[0]
+        _assert_same_vals(vals, want_vals)
+        floor = float(np.log(np.finfo(np.float64).tiny))
+        x = x_raw - C[:, None]
+        xc = jnp.maximum(want_vals[:, k - 1], floor)
+        want_ntl = xc + jnp.log(
+            jnp.sum(jnp.where(x <= xc[:, None], jnp.exp(x - xc[:, None]), 0.0), axis=1)
+        )
+        want_lse = logsumexp(jnp.asarray(ll, jnp.float32), axis=1)
+        assert_allclose(np.asarray(c1), np.asarray(C), rtol=0)
+        assert_allclose(np.asarray(log_ntl), np.asarray(want_ntl), rtol=2e-6)
+        assert_allclose(np.asarray(log_sum_ll), np.asarray(want_lse), rtol=2e-6)
+
+    @pytest.mark.slow
+    @pytest.mark.parametrize("s,k", [(40_000, 200), (70_000, 600)])
+    def test_multipass_prepass_matches_oracle(self, rng, s, k):
+        from pyloo_tpu.ops.lse import logsumexp
+        from pyloo_tpu.ops.pallas_topk import (
+            multipass_parts,
+            pallas_loo_prepass_multi,
+        )
+
+        parts = multipass_parts(s, k)
+        assert parts and parts > 1
+        ll = rng.normal(-1, 0.8, size=(5, s))
+        ll[2] = -np.abs(rng.standard_cauchy(size=s)) * 4  # heavy tail
+        x_raw = jnp.asarray(-ll, jnp.float32)
+        vals, c1, log_ntl, log_sum_ll = pallas_loo_prepass_multi(
+            x_raw, k, parts=parts, interpret=True, blk=1
+        )
+        C = jnp.max(x_raw, axis=1)
+        x = x_raw - C[:, None]
+        want_vals = jax.lax.top_k(x, k)[0]
+        # parts without the global max rebase by (C_p - C): one extra f32
+        # rounding vs the oracle's direct x - C, so close, not bit-equal
+        assert_allclose(
+            np.asarray(vals), np.asarray(want_vals), rtol=2e-6, atol=2e-5
+        )
+        floor = float(np.log(np.finfo(np.float64).tiny))
+        xc = jnp.maximum(want_vals[:, k - 1], floor)
+        want_ntl_mass = jnp.sum(
+            jnp.where(x <= xc[:, None], jnp.exp(x), 0.0), axis=1
+        )
+        want_lse = logsumexp(jnp.asarray(ll, jnp.float32), axis=1)
+        assert_allclose(np.asarray(c1), np.asarray(C), rtol=0)
+        assert_allclose(
+            np.asarray(jnp.exp(log_ntl)), np.asarray(want_ntl_mass), rtol=5e-6
+        )
+        assert_allclose(np.asarray(log_sum_ll), np.asarray(want_lse), rtol=2e-6)
+
+    def test_multipass_ties_across_part_boundaries(self, rng):
+        from pyloo_tpu.ops.pallas_topk import pallas_loo_prepass_multi
+
+        s, k, parts = 40_000, 150, 3  # forced split: parts > needed
+        x = np.full((4, s), -2.0, np.float32)
+        # tie runs straddling the part_s boundaries (ceil(40000/3)=13334)
+        x[:, 13_300:13_400] = 1.5
+        x[:, 26_600:26_700] = 1.5
+        x[0, :] = 3.25                         # full-row tie
+        x[1, ::113] = 4.0                      # spread spikes, every part
+        x += rng.normal(size=x.shape).astype(np.float32) * 1e-3
+        xj = jnp.asarray(x)
+        vals, c1, log_ntl, _ = pallas_loo_prepass_multi(
+            xj, k, parts=parts, interpret=True, blk=1
+        )
+        C = jnp.max(xj, axis=1)
+        want_vals = jax.lax.top_k(xj - C[:, None], k)[0]
+        _assert_same_vals(vals, want_vals)
+        assert np.isfinite(np.asarray(log_ntl)).all()
+
+    def test_cascade_adapts_to_large_k(self, rng):
+        # k = 769 with fixed 1000-wide segments used to degrade to a
+        # full-width single-stage sort; the width now scales with k and the
+        # result stays exact
+        x = jnp.asarray(rng.normal(size=(6, 70_000)), jnp.float32)
+        got = topk_vals_desc(x, 769)
+        _assert_same_vals(got, _topk_want(x, 769))
+
+    def test_fast_path_route(self, monkeypatch):
+        from pyloo_tpu.ops import selection
+
+        # CPU: always the portable cascade
+        assert selection.fast_path_route(4096, 4000, 192, jnp.float32) == "cascade"
+
+        monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+        route = selection.fast_path_route
+        assert route(4096, 4000, 192, jnp.float32) == "pallas"
+        assert route(4096, 65_536, 769, jnp.float32) == "pallas"
+        assert route(4096, 100_000, 950, jnp.float32) == "pallas-multipass"
+        assert route(4096, 100_000, 1087, jnp.float32) == "cascade"  # k cap
+        assert route(64, 4000, 192, jnp.float32) == "cascade"        # B gate
+        assert route(4096, 4000, 192, jnp.float64) == "cascade"      # dtype

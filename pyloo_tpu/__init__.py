@@ -102,7 +102,14 @@ from .psis import CompactWeights, psislw, psislw_compact
 from .rcparams import rcParams
 from .sis import sislw
 from .tis import tislw
-from .ingest import convert_foreign, from_netcdf, from_numpyro, save_netcdf
+from .ingest import (
+    convert_foreign,
+    from_cmdstan,
+    from_cmdstanpy,
+    from_netcdf,
+    from_numpyro,
+    save_netcdf,
+)
 from .utils import from_dict, get_log_likelihood, to_inference_data
 from .warmup import warmup
 from .warmup import _apply_compilation_cache as _pyloo_apply_compilation_cache
@@ -203,6 +210,8 @@ __all__ = [
     "rcParams",
     "convert_foreign",
     "from_dict",
+    "from_cmdstan",
+    "from_cmdstanpy",
     "from_netcdf",
     "from_numpyro",
     "save_netcdf",

@@ -40,6 +40,8 @@ __all__ = [
     "convert_foreign",
     "looks_like_foreign_idata",
     "from_numpyro",
+    "from_cmdstan",
+    "from_cmdstanpy",
 ]
 
 _log = logging.getLogger(__name__)
@@ -459,3 +461,240 @@ def _numpyro_log_likelihood(mcmc, n_chains, n_draws):
         values = np.asarray(values)
         out[str(name)] = values.reshape((n_chains, n_draws) + values.shape[1:])
     return out
+
+
+# --------------------------------------------------------------------------
+# CmdStan (Stan CSV output files / cmdstanpy fits)
+# --------------------------------------------------------------------------
+
+# Stan CSV sampler-diagnostic column → arviz sample_stats name
+_CMDSTAN_STAT_RENAMES = {
+    "lp__": "lp",
+    "accept_stat__": "acceptance_rate",
+    "stepsize__": "step_size",
+    "treedepth__": "tree_depth",
+    "n_leapfrog__": "n_steps",
+    "divergent__": "diverging",
+    "energy__": "energy",
+}
+
+
+def _parse_stan_csv(path):
+    """Parse one Stan CSV file → (columns, (n_rows, n_cols) f64 data, config).
+
+    Comment lines (``# key = value`` headers, the adaptation block, timing
+    footers) may appear anywhere; ``config`` collects the key/value ones.
+    """
+    import io
+
+    config: dict[str, str] = {}
+    columns: list[str] | None = None
+    body: list[str] = []
+    with open(path) as fh:
+        for line in fh:
+            line = line.strip()
+            if not line:
+                continue
+            if line.startswith("#"):
+                text = line[1:].strip()
+                if "=" in text:
+                    key, _, value = text.partition("=")
+                    value = value.strip()
+                    # "num_samples = 1000 (Default)" → "1000"
+                    config[key.strip()] = value.split()[0] if value else ""
+                continue
+            if columns is None:
+                columns = [c.strip() for c in line.split(",")]
+            else:
+                body.append(line)
+    if columns is None:
+        raise ValueError(f"{path}: no header row found (not a Stan CSV?)")
+    if not body:
+        raise ValueError(f"{path}: no draws found")
+    data = np.loadtxt(
+        io.StringIO("\n".join(body)), delimiter=",", ndmin=2, dtype=np.float64
+    )
+    if data.shape[1] != len(columns):
+        raise ValueError(
+            f"{path}: {data.shape[1]} data columns but {len(columns)} header names"
+        )
+    # with save_warmup=1 CmdStan writes num_warmup warmup rows before the
+    # num_samples kept rows (the adaptation comment block between them is
+    # skipped above) — drop them
+    if config.get("save_warmup") in ("1", "true", "True"):
+        n_warm = int(config.get("num_warmup", 0) or 0)
+        if 0 < n_warm < data.shape[0]:
+            data = data[n_warm:]
+    return columns, data, config
+
+
+def _group_stan_columns(columns):
+    """Group flattened Stan CSV columns by variable.
+
+    Stan writes ``theta.2.3`` (1-based, one column per element); variable
+    names cannot contain dots, so any all-numeric dotted suffix is an index.
+    Returns ``(stats, variables)``: column position of each ``__`` diagnostic,
+    and ``{base: [(zero_based_index_tuple, column_position), ...]}``.
+    """
+    stats: dict[str, int] = {}
+    variables: dict[str, list[tuple[tuple[int, ...], int]]] = {}
+    for pos, col in enumerate(columns):
+        if col.endswith("__"):
+            stats[col] = pos
+            continue
+        parts = col.split(".")
+        if len(parts) > 1 and all(p.isdigit() for p in parts[1:]):
+            base = parts[0]
+            idx = tuple(int(p) - 1 for p in parts[1:])
+        else:
+            base, idx = col, ()
+        variables.setdefault(base, []).append((idx, pos))
+    return stats, variables
+
+
+def _assemble_stan_variables(variables, data):
+    """(chain, draw, col) data + column groups → {name: (chain, draw, *shape)}.
+
+    Elements are scattered by their explicit indices, so the result is
+    correct whatever element order the CSV used (CmdStan writes column-major;
+    this does not rely on it).
+    """
+    out: dict[str, np.ndarray] = {}
+    lead = data.shape[:-1]
+    for base, entries in variables.items():
+        if len(entries) == 1 and entries[0][0] == ():
+            out[base] = data[..., entries[0][1]]
+            continue
+        rank = len(entries[0][0])
+        if any(len(idx) != rank for idx, _ in entries):
+            raise ValueError(f"inconsistent index rank for variable {base!r}")
+        shape = tuple(
+            max(idx[d] for idx, _ in entries) + 1 for d in range(rank)
+        )
+        arr = np.full(lead + shape, np.nan, dtype=data.dtype)
+        for idx, pos in entries:
+            arr[(Ellipsis,) + idx] = data[..., pos]
+        out[base] = arr
+    return out
+
+
+def _stan_groups_to_idata(columns, data, log_likelihood, coords, dims):
+    """Shared tail of from_cmdstan / from_cmdstanpy: split and build."""
+    from .utils import from_dict
+
+    stats, variables = _group_stan_columns(columns)
+    ll_names = (
+        [log_likelihood]
+        if isinstance(log_likelihood, str)
+        else list(log_likelihood or [])
+    )
+    posterior = _assemble_stan_variables(variables, data)
+    ll_group = {k: posterior.pop(k) for k in ll_names if k in posterior}
+    if ll_names and not ll_group:
+        warnings.warn(
+            f"no {ll_names!r} variable found in the Stan CSV columns; the "
+            "returned InferenceData has no log_likelihood group",
+            UserWarning,
+            stacklevel=3,
+        )
+    sample_stats: dict[str, np.ndarray] = {}
+    for raw_name, pos in stats.items():
+        name = _CMDSTAN_STAT_RENAMES.get(raw_name, raw_name.rstrip("_"))
+        values = data[..., pos]
+        if name == "diverging":
+            values = values.astype(bool)
+        elif name in ("tree_depth", "n_steps"):
+            values = values.astype(np.int64)
+        sample_stats[name] = values
+    return from_dict(
+        posterior=posterior or None,
+        log_likelihood=ll_group or None,
+        sample_stats=sample_stats or None,
+        coords=dict(coords or {}),
+        dims=dict(dims or {}),
+    )
+
+
+def from_cmdstan(
+    posterior,
+    *,
+    log_likelihood: str | list[str] = "log_lik",
+    coords: Mapping[str, Any] | None = None,
+    dims: Mapping[str, Any] | None = None,
+) -> InferenceData:
+    """Build :class:`InferenceData` from CmdStan CSV output files.
+
+    ``posterior`` is one path, a glob pattern (``"output_*.csv"``), or a list
+    of paths — one file per chain.  Flattened array columns (``theta.2.3``)
+    are reassembled into ``(chain, draw, *shape)`` arrays by their explicit
+    1-based indices; ``__`` diagnostics become ``sample_stats`` under the
+    arviz names; the ``log_likelihood`` variable (a ``generated quantities``
+    vector by Stan convention, default ``log_lik``) becomes the
+    ``log_likelihood`` group; warmup rows are dropped when ``save_warmup=1``.
+
+    Pure NumPy — no cmdstanpy/arviz needed.  Reference capability: arviz
+    ``from_cmdstan`` feeding ``pyloo/utils.py:21-79``.
+    """
+    import glob as _glob
+
+    if isinstance(posterior, (str, os.PathLike)):
+        text = os.fspath(posterior)
+        if any(ch in text for ch in "*?["):
+            paths = sorted(_glob.glob(text))
+            if not paths:
+                raise FileNotFoundError(f"no files match {text!r}")
+        else:
+            paths = [text]
+    else:
+        paths = [os.fspath(p) for p in posterior]
+    if not paths:
+        raise ValueError("from_cmdstan needs at least one CSV path")
+
+    columns = None
+    chains = []
+    for path in paths:
+        cols, data, _config = _parse_stan_csv(path)
+        if columns is None:
+            columns = cols
+        elif cols != columns:
+            raise ValueError(
+                f"{path}: column names differ from {paths[0]} — these files "
+                "are not chains of one run"
+            )
+        chains.append(data)
+    n_keep = min(c.shape[0] for c in chains)
+    if any(c.shape[0] != n_keep for c in chains):
+        warnings.warn(
+            "chains have unequal draw counts; truncating all to "
+            f"{n_keep} draws",
+            UserWarning,
+            stacklevel=2,
+        )
+        chains = [c[:n_keep] for c in chains]
+    data = np.stack(chains, axis=0)  # (chain, draw, col)
+    return _stan_groups_to_idata(columns, data, log_likelihood, coords, dims)
+
+
+def from_cmdstanpy(
+    fit,
+    *,
+    log_likelihood: str | list[str] = "log_lik",
+    coords: Mapping[str, Any] | None = None,
+    dims: Mapping[str, Any] | None = None,
+) -> InferenceData:
+    """Build :class:`InferenceData` from a fitted ``cmdstanpy.CmdStanMCMC``.
+
+    Duck-typed: only ``fit.column_names`` and ``fit.draws(concat_chains=False)``
+    (the ``(draw, chain, column)`` array) are touched, so any object exposing
+    those works — cmdstanpy itself is not imported.  Column handling is
+    shared with :func:`from_cmdstan`.
+    """
+    columns = [str(c) for c in fit.column_names]
+    draws = np.asarray(fit.draws(concat_chains=False), dtype=np.float64)
+    if draws.ndim != 3 or draws.shape[2] != len(columns):
+        raise ValueError(
+            f"fit.draws(concat_chains=False) has shape {draws.shape}; "
+            f"expected (draw, chain, {len(columns)})"
+        )
+    data = np.moveaxis(draws, 1, 0)  # (chain, draw, col)
+    return _stan_groups_to_idata(columns, data, log_likelihood, coords, dims)

@@ -85,7 +85,9 @@ def to_inference_data(obj: Any) -> InferenceData:
     Supported (matching the reach of the reference's arviz-backed converter,
     ``pyloo/utils.py:21-79``): :class:`InferenceData` (returned as-is),
     anything exposing a ``to_inference_data()`` method, a **netCDF file
-    path** (``str``/``os.PathLike``), a **foreign arviz-style
+    path** (``str``/``os.PathLike``), a **CmdStan CSV path or glob**
+    (``*.csv`` routes to :func:`pyloo_tpu.ingest.from_cmdstan`), a
+    **foreign arviz-style
     InferenceData** (duck-typed group/Dataset attribute protocol - e.g. the
     idata from ``pymc.sample`` or ``arviz.from_numpyro``), ``dict`` of
     array-likes (treated as the posterior group), :class:`Dataset`, and bare
@@ -102,6 +104,13 @@ def to_inference_data(obj: Any) -> InferenceData:
             return converted
 
     if isinstance(obj, (str, os.PathLike)):
+        text = os.fspath(obj)
+        if text.endswith(".csv") or (
+            any(ch in text for ch in "*?[") and ".csv" in text
+        ):
+            from .ingest import from_cmdstan
+
+            return from_cmdstan(obj)
         from .ingest import from_netcdf
 
         return from_netcdf(obj)

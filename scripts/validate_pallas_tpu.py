@@ -1,23 +1,34 @@
-"""Real-hardware validation sweep for the Pallas selection/prepass kernels.
+"""Real-hardware validation sweep across the library's kernel families.
 
 The interpret-mode property battery (tests/test_selection.py::TestPallasEnvelope)
-proves the kernel's *logic*; this script proves the *compiled Mosaic program*
-on an actual TPU chip, across the same envelope boundaries:
+and the CPU test suite prove the kernels' *logic*; this script proves the
+*compiled TPU programs* on an actual chip, across seven sections:
 
-* ``pallas_topk_desc`` values must be BITWISE equal to ``lax.top_k`` at every
-  boundary shape (both per-lane list heights, 1..64 segments, ragged S/B,
-  k at {1, 255, 256, 257, 512}), under adversarial inputs (tie runs crossing
-  segment boundaries, -inf rows, all-equal rows, heavy tails).
-* ``pallas_loo_prepass`` selection outputs (vals, row max) must be bitwise
-  equal to the XLA oracle; the fused reductions (non-tail mass, lppd
-  logsumexp) must agree to float32 roundoff (rtol 2e-6).
+* ``topk`` — ``pallas_topk_desc`` values must be BITWISE equal to
+  ``lax.top_k`` at every envelope boundary shape (all list heights, 1..64
+  segments, ragged S/B, boundary k), under adversarial inputs (tie runs
+  crossing segment boundaries, -inf rows, all-equal rows, heavy tails).
+* ``prepass`` / ``multi`` — ``pallas_loo_prepass``(_multi) selection outputs
+  must be bitwise equal to the XLA oracle; the fused reductions (non-tail
+  mass, lppd logsumexp) must agree to float32 roundoff.
+* ``exact`` — the exact emulated-f64 PSIS path (``psislw``) on the TPU vs
+  the independent paper-derived NumPy oracle (tests/oracle.py) at 1e-8,
+  on normal and heavy-tailed (t2) weight matrices.
+* ``eloo`` — e_loo expectation kernels (weighted mean/variance/quantile) vs
+  NumPy f64 oracles at 1e-8; the function-specific ``khat_batch`` diagnostic
+  vs an independently compiled XLA:CPU run of the same program.
+* ``nonfactor`` — batched-Cholesky MVN/MVT conditional log-likelihoods vs
+  brute-force partitioned-normal / direct-formula NumPy oracles at 1e-7.
+* ``mm`` — the device-batched moment-matching program (vmapped
+  ``lax.while_loop``) vs the serial host greedy loop on a fitted outlier
+  model: loo_i / pareto_k equal at 1e-8, split and non-split.
 
 Writes ``TPU_VALIDATION.json`` at the repo root: one record per case with the
 platform, shape, input family, and measured agreement.  Exits nonzero on any
 failure.  Runs in interpret mode when no TPU is attached (recorded in the
 output so CPU runs are never mistaken for hardware evidence).
 
-Run:  python scripts/validate_pallas_tpu.py
+Run:  python scripts/validate_pallas_tpu.py [section ...]
 """
 
 from __future__ import annotations
@@ -110,21 +121,38 @@ def main() -> int:
     # optional argv: section names to (re)run — "topk" / "prepass" / "multi";
     # prior records for sections NOT rerun are carried over from the existing
     # TPU_VALIDATION.json so a partial rerun never drops evidence.
-    sections = set(sys.argv[1:]) or {"topk", "prepass", "multi"}
+    kernel_of = {
+        "topk": ("pallas_topk_desc",),
+        "prepass": ("pallas_loo_prepass",),
+        "multi": ("pallas_loo_prepass_multi",),
+        "exact": ("psislw_exact_f64",),
+        "eloo": (
+            "weighted_mean",
+            "weighted_variance",
+            "weighted_quantile",
+            "khat",
+        ),
+        "nonfactor": ("mvn_conditional", "mvt_conditional"),
+        "mm": ("moment_match_device",),
+    }
+    sections = set(sys.argv[1:]) or set(kernel_of)
+    unknown = sections - set(kernel_of)
+    if unknown:
+        raise SystemExit(f"unknown sections: {sorted(unknown)}")
     platform = jax.devices()[0].platform
     interpret = platform not in ("tpu", "axon")
     rng = np.random.default_rng(20260818)
     records = []
     ok = True
-    kernel_of = {
-        "topk": "pallas_topk_desc",
-        "prepass": "pallas_loo_prepass",
-        "multi": "pallas_loo_prepass_multi",
-    }
     try:
         with open("TPU_VALIDATION.json") as f:
             prior = json.load(f)
-        keep = {kernel_of[s] for s in kernel_of if s not in sections}
+        keep = {
+            name
+            for s, names in kernel_of.items()
+            if s not in sections
+            for name in names
+        }
         for r in prior.get("cases", []):
             if r.get("kernel") in keep:
                 records.append(r)
@@ -271,6 +299,269 @@ def main() -> int:
                 f"multi  S={s:6d} k={k:4d} B={b:5d} parts={parts} pass={passed} "
                 f"vals_err={vals_err:.2e} ntl_err={ntl_err:.2e} "
                 f"lppd_err={lppd_err:.2e} ({wall:.1f}s)"
+            )
+
+    # ---- exact emulated-f64 PSIS path vs the paper-derived host oracle ----
+    if "exact" in sections:
+        from pyloo_tpu.psis import psislw  # noqa: E402
+        from tests.oracle import psis_matrix  # noqa: E402
+
+        for b, s in [(64, 1000), (32, 4000), (16, 8000)]:
+            lw_np = rng.normal(0.0, 1.0, size=(b, s))
+            # heavy-tailed rows exercise the smoothing-heavy branch
+            lw_np[: b // 4] = rng.standard_t(2, size=(b // 4, s)) * 2.0
+            t0 = time.perf_counter()
+            lw_got, k_got = psislw(jnp.asarray(lw_np, jnp.float64))
+            lw_got = np.asarray(lw_got)
+            k_got = np.asarray(k_got)
+            wall = time.perf_counter() - t0
+            lw_want, k_want = psis_matrix(lw_np)
+            lw_err = float(np.max(np.abs(lw_got - lw_want)))
+            fin = np.isfinite(k_want)
+            k_err = float(np.max(np.abs(k_got[fin] - k_want[fin]))) if fin.any() else 0.0
+            inf_match = bool(np.array_equal(np.isfinite(k_got), fin))
+            passed = lw_err < 1e-8 and k_err < 1e-8 and inf_match
+            ok &= passed
+            records.append(
+                {
+                    "kernel": "psislw_exact_f64",
+                    "s": s,
+                    "b": b,
+                    "lw_max_abs_err": lw_err,
+                    "k_max_abs_err": k_err,
+                    "inf_mask_equal": inf_match,
+                    "pass": passed,
+                    "wall_s_incl_compile": round(wall, 3),
+                }
+            )
+            print(
+                f"exact  S={s:6d} B={b:5d} pass={passed} "
+                f"lw_err={lw_err:.2e} k_err={k_err:.2e} ({wall:.1f}s)"
+            )
+
+    # ---- e_loo expectation kernels vs NumPy f64 oracles ----
+    if "eloo" in sections:
+        from pyloo_tpu.ops.expectations import (  # noqa: E402
+            khat_batch,
+            weighted_mean_batch,
+            weighted_quantile_batch,
+            weighted_variance_batch,
+        )
+
+        probs = np.array([0.1, 0.5, 0.9])
+        for b, s in [(128, 1000), (32, 4000)]:
+            x = rng.normal(size=(b, s))
+            lw = rng.standard_t(3, size=(b, s)) * 0.7
+            xd = jnp.asarray(x, jnp.float64)
+            lwd = jnp.asarray(lw, jnp.float64)
+            t0 = time.perf_counter()
+            m_got = np.asarray(weighted_mean_batch(xd, lwd))
+            v_got = np.asarray(weighted_variance_batch(xd, lwd))
+            q_got = np.asarray(weighted_quantile_batch(xd, lwd, jnp.asarray(probs)))
+            k_got = np.asarray(khat_batch(xd, lwd, tail_len=20))
+            wall = time.perf_counter() - t0
+
+            # independent host-arithmetic oracles (f64)
+            mx = lw.max(axis=1, keepdims=True)
+            w = np.exp(lw - mx)
+            w /= w.sum(axis=1, keepdims=True)
+            m_want = (w * x).sum(axis=1)
+            msq = (w * x**2).sum(axis=1)
+            v_want = np.maximum((msq - m_want**2) / (1.0 - (w**2).sum(axis=1)), 0.0)
+            order = np.argsort(x, axis=1)
+            xs_np = np.take_along_axis(x, order, axis=1)
+            cw = np.cumsum(np.take_along_axis(w, order, axis=1), axis=1)
+            cw /= cw[:, -1:]
+            q_want = np.empty((b, len(probs)))
+            for j, p in enumerate(probs):
+                wi = np.argmax(cw >= p, axis=1)
+                lo = np.maximum(wi - 1, 0)
+                rows = np.arange(b)
+                x_hi, x_lo = xs_np[rows, wi], xs_np[rows, lo]
+                w_hi, w_lo = cw[rows, wi], cw[rows, lo]
+                denom = np.where(w_hi == w_lo, 1.0, w_hi - w_lo)
+                q_want[:, j] = np.where(
+                    wi == 0, xs_np[:, 0], x_lo + (x_hi - x_lo) * (p - w_lo) / denom
+                )
+            # khat: independently compiled XLA:CPU program as the oracle
+            cpu = jax.devices("cpu")[0]
+            with jax.default_device(cpu):
+                k_want = np.asarray(
+                    khat_batch(
+                        jnp.asarray(x, jnp.float64),
+                        jnp.asarray(lw, jnp.float64),
+                        tail_len=20,
+                    )
+                )
+            errs = {
+                "weighted_mean": float(np.max(np.abs(m_got - m_want))),
+                "weighted_variance": float(np.max(np.abs(v_got - v_want))),
+                "weighted_quantile": float(np.max(np.abs(q_got - q_want))),
+                "khat": float(np.max(np.abs(k_got - k_want))),
+            }
+            for name, err in errs.items():
+                passed = err < 1e-8
+                ok &= passed
+                records.append(
+                    {
+                        "kernel": name,
+                        "s": s,
+                        "b": b,
+                        "max_abs_err": err,
+                        "oracle": "xla_cpu" if name == "khat" else "numpy_f64",
+                        "pass": passed,
+                        "wall_s_incl_compile": round(wall, 3),
+                    }
+                )
+                print(f"eloo   {name:18s} S={s:6d} B={b:4d} err={err:.2e} pass={passed}")
+
+    # ---- nonfactor MVN/MVT conditionals vs brute-force oracles ----
+    if "nonfactor" in sections:
+        from scipy import stats  # noqa: E402
+        from scipy.special import gammaln  # noqa: E402
+
+        from pyloo_tpu.ops.nonfactor import (  # noqa: E402
+            mvn_conditional_loglik,
+            mvt_conditional_loglik,
+        )
+
+        for n_obs, n_draws in [(12, 5), (48, 4)]:
+            A = rng.normal(size=(n_obs, n_obs)) * 0.3
+            base_cov = A @ A.T + np.eye(n_obs)
+            mu = rng.normal(size=n_obs)
+            y = rng.multivariate_normal(mu, base_cov)
+            mus = mu[None, :] + rng.normal(0, 0.05, size=(n_draws, n_obs))
+            covs = np.empty((n_draws, n_obs, n_obs))
+            for d in range(n_draws):
+                j = rng.normal(0, 0.01, size=(n_obs, n_obs))
+                covs[d] = base_cov + (j + j.T) / 2 + 0.01 * np.eye(n_obs)
+
+            t0 = time.perf_counter()
+            mvn_got = np.asarray(mvn_conditional_loglik(y, mus, cov=covs))
+            df = 5.0 + 5.0 * np.arange(n_draws)
+            mvt_got = np.asarray(mvt_conditional_loglik(y, mus, df, cov=covs))
+            wall = time.perf_counter() - t0
+
+            mvn_want = np.empty((n_draws, n_obs))
+            mvt_want = np.empty((n_draws, n_obs))
+            for d in range(n_draws):
+                P = np.linalg.inv(covs[d])
+                r = y - mus[d]
+                g = P @ r
+                cbar = np.diag(P)
+                for i in range(n_obs):
+                    keep = np.delete(np.arange(n_obs), i)
+                    c22i = np.linalg.inv(covs[d][np.ix_(keep, keep)])
+                    c12 = covs[d][np.ix_([i], keep)]
+                    cm = mus[d][i] + (c12 @ c22i @ (y[keep] - mus[d][keep]))[0]
+                    cv = covs[d][i, i] - (c12 @ c22i @ c12.T)[0, 0]
+                    mvn_want[d, i] = stats.norm.logpdf(y[i], cm, np.sqrt(cv))
+                    Pmm = P[np.ix_(keep, keep)]
+                    pcol = P[keep, i]
+                    eff = Pmm - np.outer(pcol, pcol) / P[i, i]
+                    beta = r[keep] @ eff @ r[keep]
+                    cond_df = df[d] + n_obs - 1
+                    cond_loc = y[i] - g[i] / cbar[i]
+                    cond_scale = (df[d] + beta) / cond_df / cbar[i]
+                    mvt_want[d, i] = (
+                        gammaln((cond_df + 1) / 2)
+                        - gammaln(cond_df / 2)
+                        - 0.5 * np.log(cond_df * np.pi * cond_scale)
+                        - ((cond_df + 1) / 2)
+                        * np.log(1 + (y[i] - cond_loc) ** 2 / (cond_scale * cond_df))
+                    )
+            for name, got, want in [
+                ("mvn_conditional", mvn_got, mvn_want),
+                ("mvt_conditional", mvt_got, mvt_want),
+            ]:
+                err = float(np.max(np.abs(got - want)))
+                passed = err < 1e-7
+                ok &= passed
+                records.append(
+                    {
+                        "kernel": name,
+                        "n_obs": n_obs,
+                        "n_draws": n_draws,
+                        "max_abs_err": err,
+                        "oracle": "partitioned_brute_force",
+                        "pass": passed,
+                        "wall_s_incl_compile": round(wall, 3),
+                    }
+                )
+                print(
+                    f"nonfac {name:16s} N={n_obs:3d} S={n_draws} "
+                    f"err={err:.2e} pass={passed}"
+                )
+
+    # ---- device-batched moment matching vs the serial host loop ----
+    if "mm" in sections:
+        import warnings  # noqa: E402
+
+        import pyloo_tpu as pl  # noqa: E402
+        from pyloo_tpu.models.wrapper import Model, fit  # noqa: E402
+
+        y = rng.normal(1.0, 1.0, size=30)
+        y[0] = 8.5  # one gross outlier -> high pareto_k -> moment matching
+
+        def logp(p, d):
+            sd = jnp.exp(p["log_s"])
+            r = (d["y"] - p["mu"]) / sd
+            return (
+                -0.5 * (p["mu"] / 10) ** 2
+                - 0.5 * (p["log_s"] / 2) ** 2
+                + jnp.sum(-0.5 * jnp.log(2 * jnp.pi) - p["log_s"] - 0.5 * r**2)
+            )
+
+        def ll(p, d):
+            sd = jnp.exp(p["log_s"])
+            r = (d["y"] - p["mu"]) / sd
+            return -0.5 * jnp.log(2 * jnp.pi) - p["log_s"] - 0.5 * r**2
+
+        model = Model(
+            "ls", {"y": y}, {"mu": (), "log_s": ()}, logp, ll, obs_keys=("y",)
+        )
+        for split in (False, True):
+            t0 = time.perf_counter()
+            with warnings.catch_warnings():
+                warnings.simplefilter("ignore")
+                idata = fit(model, draws=500, tune=500, chains=2, seed=7)
+                wrapper = pl.JAXModelWrapper(model, idata)
+                orig = pl.loo(idata, pointwise=True, reff=1.0)
+                mm_host = pl.loo_moment_match(
+                    wrapper, orig, split=split, cov=True, device_batched=False
+                )
+                mm_dev = pl.loo_moment_match(
+                    wrapper, orig, split=split, cov=True, device_batched=True
+                )
+            wall = time.perf_counter() - t0
+            loo_err = float(
+                np.max(np.abs(mm_dev.loo_i.values - mm_host.loo_i.values))
+            )
+            k_err = float(
+                np.max(np.abs(mm_dev.pareto_k.values - mm_host.pareto_k.values))
+            )
+            improved = float(np.max(mm_dev.pareto_k.values)) < float(
+                np.max(orig.pareto_k.values)
+            )
+            passed = loo_err < 1e-8 and k_err < 1e-8 and improved
+            ok &= passed
+            records.append(
+                {
+                    "kernel": "moment_match_device",
+                    "split": split,
+                    "n_obs": 30,
+                    "n_draws": 1000,
+                    "loo_i_max_abs_err": loo_err,
+                    "pareto_k_max_abs_err": k_err,
+                    "max_k_improved": improved,
+                    "oracle": "host_greedy_loop",
+                    "pass": passed,
+                    "wall_s_incl_compile": round(wall, 3),
+                }
+            )
+            print(
+                f"mm     split={split!s:5s} loo_err={loo_err:.2e} "
+                f"k_err={k_err:.2e} improved={improved} pass={passed} ({wall:.1f}s)"
             )
 
     out = {

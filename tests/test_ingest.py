@@ -362,3 +362,183 @@ def test_from_numpyro_netcdf_roundtrip(centered, fake_mcmc, tmp_path):
     res = pl.loo(str(path))
     ref = pl.loo(centered)
     assert res["elpd_loo"] == ref["elpd_loo"]
+
+
+# --------------------------------------------------------------------------
+# CmdStan CSV files / cmdstanpy fits
+# --------------------------------------------------------------------------
+
+
+def _write_stan_csv(path, rng, n_draws=120, n_obs=8, save_warmup=0, n_warmup=10):
+    """Synthesize a CmdStan output file: config comments, diagnostics,
+    a scalar, a vector, a (2,2) matrix in CmdStan's column-major element
+    order, and a log_lik vector; optional warmup rows with the adaptation
+    comment block between warmup and kept draws."""
+    cols = (
+        "lp__,accept_stat__,stepsize__,treedepth__,n_leapfrog__,"
+        "divergent__,energy__,mu,theta.1,theta.2,theta.3,"
+        "M.1.1,M.2.1,M.1.2,M.2.2,"
+        + ",".join(f"log_lik.{i + 1}" for i in range(n_obs))
+    )
+    n_cols = len(cols.split(","))
+
+    def rows(n):
+        body = []
+        for _ in range(n):
+            r = rng.normal(size=n_cols)
+            r[3] = 5  # treedepth__
+            r[4] = 31  # n_leapfrog__
+            r[5] = float(rng.random() < 0.05)  # divergent__
+            body.append(",".join(f"{v:.10g}" for v in r))
+        return body
+
+    lines = [
+        "# stan_version_major = 2",
+        "# method = sample (Default)",
+        f"#   num_samples = {n_draws} (Default)",
+        f"#   num_warmup = {n_warmup}",
+        f"#   save_warmup = {save_warmup}",
+        cols,
+    ]
+    if save_warmup:
+        lines += rows(n_warmup)
+        lines += ["# Adaptation terminated", "# Step size = 0.8"]
+    lines += rows(n_draws)
+    lines += ["#  Elapsed Time: 0.1 seconds (Warm-up)"]
+    pathlib.Path(path).write_text("\n".join(lines) + "\n")
+    return path
+
+
+@pytest.fixture(scope="module")
+def stan_csvs(tmp_path_factory):
+    rng = np.random.default_rng(11)
+    d = tmp_path_factory.mktemp("cmdstan")
+    return [
+        _write_stan_csv(str(d / f"output_{c + 1}.csv"), rng) for c in range(2)
+    ]
+
+
+def test_from_cmdstan_structure(stan_csvs):
+    idata = pl.from_cmdstan(stan_csvs)
+    assert idata.posterior["mu"].values.shape == (2, 120)
+    assert idata.posterior["theta"].values.shape == (2, 120, 3)
+    assert idata.posterior["M"].values.shape == (2, 120, 2, 2)
+    assert idata.log_likelihood["log_lik"].values.shape == (2, 120, 8)
+    assert "log_lik" not in idata.posterior
+    ss = idata.sample_stats
+    assert ss["diverging"].values.dtype == bool
+    assert ss["tree_depth"].values.dtype == np.int64
+    assert set(["lp", "acceptance_rate", "step_size", "n_steps", "energy"]) <= set(
+        ss.keys()
+    )
+
+
+def test_from_cmdstan_element_scatter(stan_csvs):
+    # M.2.1 is the SECOND data column of M in the file (column-major), and
+    # must land at [..., 1, 0]: the scatter must follow indices, not order.
+    import io
+
+    header = None
+    body = []
+    for line in pathlib.Path(stan_csvs[0]).read_text().splitlines():
+        if line.startswith("#") or not line.strip():
+            continue
+        if header is None:
+            header = line.split(",")
+        else:
+            body.append(line)
+    data = np.loadtxt(io.StringIO("\n".join(body)), delimiter=",", ndmin=2)
+    idata = pl.from_cmdstan(stan_csvs)
+    got = idata.posterior["M"].values[0]
+    np.testing.assert_array_equal(got[:, 1, 0], data[:, header.index("M.2.1")])
+    np.testing.assert_array_equal(got[:, 0, 1], data[:, header.index("M.1.2")])
+
+
+def test_from_cmdstan_drops_warmup(tmp_path):
+    rng = np.random.default_rng(3)
+    p = _write_stan_csv(
+        str(tmp_path / "warm.csv"), rng, n_draws=50, save_warmup=1, n_warmup=10
+    )
+    idata = pl.from_cmdstan(p)
+    assert idata.posterior["mu"].values.shape == (1, 50)
+
+
+def test_from_cmdstan_glob_and_loo(stan_csvs, tmp_path):
+    pattern = os.path.join(os.path.dirname(stan_csvs[0]), "output_*.csv")
+    idata = pl.from_cmdstan(pattern)
+    assert idata.posterior["mu"].values.shape[0] == 2
+    # the .csv route through the generic converter, end to end into loo
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        res = pl.loo(pattern)
+    assert np.isfinite(res["elpd_loo"])
+
+
+def test_from_cmdstan_unequal_chains_truncate(tmp_path):
+    rng = np.random.default_rng(5)
+    a = _write_stan_csv(str(tmp_path / "a.csv"), rng, n_draws=60)
+    b = _write_stan_csv(str(tmp_path / "b.csv"), rng, n_draws=50)
+    with pytest.warns(UserWarning, match="unequal draw counts"):
+        idata = pl.from_cmdstan([a, b])
+    assert idata.posterior["mu"].values.shape == (2, 50)
+
+
+def test_from_cmdstan_mismatched_columns_rejected(tmp_path, stan_csvs):
+    other = str(tmp_path / "other.csv")
+    pathlib.Path(other).write_text("lp__,mu\n-1.0,0.5\n")
+    with pytest.raises(ValueError, match="column names differ"):
+        pl.from_cmdstan([stan_csvs[0], other])
+
+
+def test_from_cmdstan_missing_log_lik_warns(tmp_path):
+    p = str(tmp_path / "noll.csv")
+    pathlib.Path(p).write_text("lp__,mu\n-1.0,0.5\n-1.1,0.6\n")
+    with pytest.warns(UserWarning, match="no .*log_lik.* variable"):
+        idata = pl.from_cmdstan(p)
+    assert "log_likelihood" not in idata.groups()
+    assert idata.posterior["mu"].values.shape == (1, 2)
+
+
+class _FakeCmdStanMCMC:
+    """Duck-typed cmdstanpy.CmdStanMCMC: column_names + draws()."""
+
+    def __init__(self, columns, data_cdc):
+        self.column_names = tuple(columns)
+        self._draws = data_cdc  # (draw, chain, col)
+
+    def draws(self, concat_chains=False):
+        assert concat_chains is False
+        return self._draws
+
+
+def test_from_cmdstanpy_matches_from_cmdstan(stan_csvs):
+    import io
+
+    want = pl.from_cmdstan(stan_csvs)
+    header, chains = None, []
+    for path in stan_csvs:
+        body = []
+        for line in pathlib.Path(path).read_text().splitlines():
+            if line.startswith("#") or not line.strip():
+                continue
+            if header is None and not body and not chains and "lp__" in line:
+                header = line.split(",")
+                continue
+            if line[0] not in "-0123456789":
+                continue
+            body.append(line)
+        chains.append(np.loadtxt(io.StringIO("\n".join(body)), delimiter=","))
+    data = np.stack(chains, axis=1)  # (draw, chain, col)
+    fit = _FakeCmdStanMCMC(header, data)
+    got = pl.from_cmdstanpy(fit)
+    np.testing.assert_array_equal(
+        got.posterior["theta"].values, want.posterior["theta"].values
+    )
+    np.testing.assert_array_equal(
+        got.log_likelihood["log_lik"].values,
+        want.log_likelihood["log_lik"].values,
+    )
+    np.testing.assert_array_equal(
+        got.sample_stats["diverging"].values,
+        want.sample_stats["diverging"].values,
+    )

@@ -45,6 +45,7 @@ import numpy as np
 from .lse import logsumexp
 from .selection import topk_vals_desc
 from .psis import (
+    _LINEAR_FIT_MIN_LOG_QUART,
     _gpdfit_dispatch,
     _gpdfit_from_y,
     _log1mexp,
@@ -129,34 +130,13 @@ def _psis_tail_scores(
         jnp.asarray(np.log(0.5), dtype),
     )
 
-    if dtype == jnp.dtype(jnp.float64):
-        # Reference-verbatim LINEAR pipeline (psis.py:138-157): exceedances
-        # ``exp(x_tail) - exp(cutoff)``, linear Zhang-Stephens fit, linear
-        # gpinv, one closing log per element.  Max-shifted tails are <= 1 so
-        # nothing overflows, and intermediate expm1 overflow (heavy k) only
-        # produces values the final 0-truncation clamps exactly like the
-        # reference's own ``x[x > 0] = 0``.  Beyond the parity argument this
-        # is the cheap form: 2 transcendentals per element against ~5 for
-        # the log-domain branch below.
-        expxcutoff = jnp.exp(xcutoff)
-        y = jnp.where(
-            slot_valid, jnp.exp(tail_vals) - expxcutoff[:, None], 0.0
-        )
-        y_quart = jnp.take_along_axis(y, q_desc[:, None], axis=1)[:, 0]
-        k, sigma = _gpdfit_from_y(y, nf, y_quart, y[:, 0], product=product)
-        # reference _gpinv (psis.py:211-231): probs strictly inside (0,1)
-        q_lin = sigma[:, None] * jnp.where(
-            jnp.abs(k)[:, None] < eps,
-            -log1m_p,
-            jnp.expm1(-k[:, None] * log1m_p)
-            / jnp.where(k == 0, 1.0, k)[:, None],
-        )
-        smoothed = jnp.minimum(jnp.log(q_lin + expxcutoff[:, None]), 0.0)
-        sigma_pos = sigma > 0
-    else:
-        # float32: stay in the LOG domain end to end — linear weights
+    def _log_domain_smooth(_):
+        # LOG domain end to end — float32's only option (linear weights
         # underflow below e^-88 in f32, which would zero out exactly the
-        # heavy tails PSIS exists to smooth.
+        # heavy tails PSIS exists to smooth), and float64's deep-tail
+        # fallback (the linear pipeline under/overflows once the quartile
+        # exceedance leaves the representable range — see
+        # ``_LINEAR_FIT_MIN_LOG_QUART``).
         gap = jnp.minimum(xcutoff[:, None] - tail_vals, 0.0)
         log_exceed = jnp.where(slot_valid, tail_vals + _log1mexp(gap), -jnp.inf)
         log_quart = jnp.take_along_axis(log_exceed, q_desc[:, None], axis=1)[
@@ -175,7 +155,51 @@ def _psis_tail_scores(
         )
         smoothed = jnp.logaddexp(log_sigma[:, None] + log_q, xcutoff[:, None])
         smoothed = jnp.minimum(smoothed, 0.0)  # truncate weights at exp(0)
-        sigma_pos = sign_sigma > 0
+        return k, smoothed, sign_sigma > 0
+
+    if dtype == jnp.dtype(jnp.float64):
+        # Reference-verbatim LINEAR pipeline (psis.py:138-157): exceedances
+        # ``exp(x_tail) - exp(cutoff)``, linear Zhang-Stephens fit, linear
+        # gpinv, one closing log per element.  Max-shifted tails are <= 1 so
+        # nothing overflows, and intermediate expm1 overflow (heavy k) only
+        # produces values the final 0-truncation clamps exactly like the
+        # reference's own ``x[x > 0] = 0``.  Beyond the parity argument this
+        # is the cheap form: 2 transcendentals per element against ~5 for
+        # the log-domain branch.
+        def _linear_smooth(_):
+            expxcutoff = jnp.exp(xcutoff)
+            y = jnp.where(
+                slot_valid, jnp.exp(tail_vals) - expxcutoff[:, None], 0.0
+            )
+            y_quart = jnp.take_along_axis(y, q_desc[:, None], axis=1)[:, 0]
+            k, sigma = _gpdfit_from_y(y, nf, y_quart, y[:, 0], product=product)
+            # reference _gpinv (psis.py:211-231): probs strictly inside (0,1)
+            q_lin = sigma[:, None] * jnp.where(
+                jnp.abs(k)[:, None] < eps,
+                -log1m_p,
+                jnp.expm1(-k[:, None] * log1m_p)
+                / jnp.where(k == 0, 1.0, k)[:, None],
+            )
+            smoothed = jnp.minimum(jnp.log(q_lin + expxcutoff[:, None]), 0.0)
+            return k, smoothed, sigma > 0
+
+        # Deep-tail guard (hardware finding, round 4): when the quartile
+        # exceedance sits below e^-60, the linear pipeline degenerates —
+        # exp underflow poisons the fit on TPU's float32-exponent-range f64
+        # emulation (k = NaN on a v5e for rows whose tail lies >~90 nats
+        # below the row max) and overflows even full-range IEEE f64 beyond
+        # ~705 nats.  One gather + one log1mexp per ROW decides the branch;
+        # ordinary batches run the linear pipeline bit-for-bit as before.
+        q_tail = jnp.take_along_axis(tail_vals, q_desc[:, None], axis=1)[:, 0]
+        log_quart_row = q_tail + _log1mexp(jnp.minimum(xcutoff - q_tail, 0.0))
+        in_range = jnp.where(
+            n_tail > 4, log_quart_row >= _LINEAR_FIT_MIN_LOG_QUART, True
+        )
+        k, smoothed, sigma_pos = jax.lax.cond(
+            jnp.all(in_range), _linear_smooth, _log_domain_smooth, None
+        )
+    else:
+        k, smoothed, sigma_pos = _log_domain_smooth(None)
 
     would_smooth = (n_tail > 4) & jnp.isfinite(k)
     degenerate = would_smooth & ~sigma_pos

@@ -88,7 +88,14 @@ def _transform(uparsi, lwi, kind: int):
     wcovv = _weighted_cov(uparsi, w)
     chol1 = jnp.linalg.cholesky(wcovv)
     chol2 = jnp.linalg.cholesky(covv)
-    mapping = chol1 @ jnp.linalg.inv(chol2)
+    # chol1 @ chol2^{-1} via a triangular solve: jnp.linalg.inv lowers to
+    # LuDecomposition, which XLA:TPU does not implement for (emulated) f64
+    # (hardware finding, round 4: the device-batched moment-match program
+    # failed to compile on a v5e); triangular_solve lowers fine and is the
+    # numerically tighter form anyway.
+    mapping = jax.lax.linalg.triangular_solve(
+        chol2, chol1, left_side=False, lower=True
+    )
     # host parity: np.linalg.cholesky raises on non-PD -> identity mapping;
     # jnp returns NaNs instead, detected here
     ok = jnp.all(jnp.isfinite(mapping))

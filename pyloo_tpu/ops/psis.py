@@ -453,6 +453,20 @@ def _linear_fit_close(y, nf, b_post, product=False):
     return k_post, sign_sigma, log_sigma
 
 
+# Deep-tail guard for the linear f64 fit.  With max-shifted exceedances
+# (log_ary <= 0, so y_max <= 1) the linear pipeline's extreme magnitudes are
+# bounded by the QUARTILE anchor alone: y_quart underflows for
+# log_quart < ~-87 under TPU's float32-exponent-range f64 emulation (b grid
+# -> inf -> NaN k), and the candidate products reach ~40 * y_max/y_quart,
+# which overflows the same range for log_quart < ~-84 (and full-range IEEE
+# f64 for log_quart < ~-705 — the linear fit NaNs on CPU too, measured).
+# -60 leaves a wide margin on the emulated range; batches beyond it take
+# the signed-log fit, which is domain-unbounded and agrees with the linear
+# fit to ~1e-14 where both are defined (hardware finding, round 4: rows
+# whose tail sits >~90 nats below the row max returned k = NaN on a v5e).
+_LINEAR_FIT_MIN_LOG_QUART = -60.0
+
+
 def _gpdfit_batch_linear(log_ary, n, log_quart=None, log_last=None, product=False):
     """Reference-verbatim Zhang-Stephens fit in LINEAR domain (f64 path).
 
@@ -466,15 +480,41 @@ def _gpdfit_batch_linear(log_ary, n, log_quart=None, log_last=None, product=Fals
     (``psis.py:163-208``): same candidate grid, same profile likelihood,
     same posterior-mean b, same k shrinkage.
 
+    Deep tails (quartile exceedance below ``e**-60``) route the whole batch
+    to the signed-log fit via a runtime ``lax.cond`` — the linear pipeline
+    under/overflows there (see ``_LINEAR_FIT_MIN_LOG_QUART``); ordinary
+    batches run the linear branch bit-for-bit as before.
+
     Same signature/returns as :func:`_gpdfit_batch`; ``product=True`` opts
     the profile-likelihood scans (grid AND closing pass) into the
     renormalized-product evaluation (:func:`_log_prod_terms`) — uniformly
     accurate (error ~M*eps absolute, no cancellation), vmap-safe, and ~10x
     cheaper on TPU's emulated f64.
     """
-    y, nf, b, grid_valid = _linear_candidate_grid(log_ary, n, log_quart, log_last)
-    b_post = _linear_b_post(y, nf, b, grid_valid, product=product)
-    return _linear_fit_close(y, nf, b_post, product=product)
+    B, M = log_ary.shape
+    if log_quart is None:
+        q_idx = jnp.clip((n + 2) // 4 - 1, 0, M - 1)
+        log_quart = jnp.take_along_axis(log_ary, q_idx[:, None], axis=1)[:, 0]
+    if log_last is None:
+        log_last = jnp.take_along_axis(
+            log_ary, jnp.clip(n - 1, 0, M - 1)[:, None], axis=1
+        )[:, 0]
+
+    def linear_fit(_):
+        y, nf, b, grid_valid = _linear_candidate_grid(
+            log_ary, n, log_quart, log_last
+        )
+        b_post = _linear_b_post(y, nf, b, grid_valid, product=product)
+        return _linear_fit_close(y, nf, b_post, product=product)
+
+    def signed_log_fit(_):
+        return _gpdfit_batch(log_ary, n, log_quart=log_quart, log_last=log_last)
+
+    # rows with <= 4 exceedances never smooth (khat = inf upstream) and can
+    # carry -inf anchors — they must not force the fallback; NaN anchors
+    # compare False and do (the signed-log fit handles them gracefully)
+    in_range = jnp.where(n > 4, log_quart >= _LINEAR_FIT_MIN_LOG_QUART, True)
+    return jax.lax.cond(jnp.all(in_range), linear_fit, signed_log_fit, None)
 
 
 def _gpdfit_from_y(y, nf, y_quart, y_last, product=False):

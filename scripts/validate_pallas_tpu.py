@@ -367,7 +367,11 @@ def main() -> int:
             w /= w.sum(axis=1, keepdims=True)
             m_want = (w * x).sum(axis=1)
             msq = (w * x**2).sum(axis=1)
-            v_want = np.maximum((msq - m_want**2) / (1.0 - (w**2).sum(axis=1)), 0.0)
+            wss = (w**2).sum(axis=1)
+            v_want = np.maximum((msq - m_want**2) / (1.0 - wss), 0.0)
+            # kernel semantics (reference e_loo.py:518-531): rows where one
+            # weight dominates (sum w^2 ~ 1) or x is constant return 0
+            v_want = np.where(np.isclose(wss, 1.0), 0.0, v_want)
             order = np.argsort(x, axis=1)
             xs_np = np.take_along_axis(x, order, axis=1)
             cw = np.cumsum(np.take_along_axis(w, order, axis=1), axis=1)

@@ -512,3 +512,88 @@ class TestFastPathHeavyTails:
         assert_allclose(e32[ok], e64[ok], rtol=1e-4, atol=1e-4)
         fin = ok & np.isfinite(k64) & np.isfinite(k32)
         assert_allclose(k32[fin], k64[fin], rtol=0, atol=2e-3)
+
+
+class TestDeepTailFallback:
+    """The f64 linear GPD fit must route deep/wide tails to the signed-log
+    fit (hardware finding, round 4): exceedances of rows whose tail sits
+    ~90+ nats below the row max underflow the linear pipeline under TPU's
+    float32-exponent-range f64 emulation (k came back NaN on a v5e), and
+    spreads beyond ~705 nats NaN even full-range IEEE f64 on CPU."""
+
+    def test_psislw_deep_rows_match_oracle(self):
+        import jax.numpy as jnp
+
+        rng = np.random.default_rng(7)
+        b, s = 8, 1000
+        lw_np = rng.normal(0.0, 1.0, size=(b, s))
+        lw_np[:2] = rng.standard_t(2, size=(2, s)) * 2.0  # ranges ~180-230
+        lw_got, k_got = pl.psislw(jnp.asarray(lw_np, jnp.float64))
+        lw_want, k_want = psis_matrix(lw_np)
+        assert np.isfinite(np.asarray(k_got)[:2]).all()
+        assert_allclose(np.asarray(lw_got), lw_want, rtol=0, atol=1e-10)
+        fin = np.isfinite(k_want)
+        assert_allclose(np.asarray(k_got)[fin], k_want[fin], rtol=0, atol=1e-10)
+
+    def test_linear_fit_falls_back_finite_at_any_scale(self):
+        # pre-fix: NaN on CPU beyond ~705 nats of tail spread; the signed-log
+        # fallback must agree with the linear fit where both are defined and
+        # stay finite everywhere
+        import jax.numpy as jnp
+
+        from pyloo_tpu.ops.psis import _gpdfit_batch, _gpdfit_batch_linear
+
+        rng = np.random.default_rng(0)
+        for scale in (1.0, 40.0, 120.0, 400.0):
+            lw = np.sort(rng.standard_t(2, size=(4, 191)) * scale, axis=1)
+            lw = lw - lw.max(axis=1, keepdims=True) - 0.01
+            la = jnp.asarray(lw, jnp.float64)
+            n = jnp.full((4,), 191, jnp.int32)
+            k1, s1, ls1 = _gpdfit_batch_linear(la, n, product=True)
+            k2, s2, ls2 = _gpdfit_batch(la, n)
+            assert np.isfinite(np.asarray(k1)).all(), scale
+            assert_allclose(np.asarray(k1), np.asarray(k2), rtol=0, atol=2e-13)
+            assert_allclose(np.asarray(ls1), np.asarray(ls2), rtol=0, atol=2e-13)
+
+    def test_exact_kernel_deep_row_finite(self, rng):
+        import jax.numpy as jnp
+
+        from pyloo_tpu.ops.loo_kernels import loo_scores_psis
+
+        ll = rng.normal(-1, 0.5, size=(32, 2000))
+        ll[5] = rng.standard_t(2, size=2000) * 8.0 - 30.0  # deep tail row
+        M = tail_length(2000, 1.0)
+        e, k, lp = map(
+            np.asarray, loo_scores_psis(jnp.asarray(ll, jnp.float64), M)
+        )
+        lw_o, k_o = psis_matrix(-ll)
+        elpd_o = np.array(
+            [np.logaddexp.reduce(lw_o[i] + ll[i]) for i in range(32)]
+        )
+        assert np.isfinite(e).all()
+        assert_allclose(e, elpd_o, rtol=0, atol=1e-9)
+        fin = np.isfinite(k_o)
+        assert_allclose(k[fin], k_o[fin], rtol=0, atol=1e-10)
+
+    def test_vmapped_psislw_batch_with_deep_rows(self):
+        # moment matching vmaps psislw_batch; the lax.cond must degrade to a
+        # select there without error
+        import jax
+        import jax.numpy as jnp
+
+        rng = np.random.default_rng(3)
+        lw = rng.normal(size=(3, 4, 500))
+        lw[0, 0] = rng.standard_t(2, size=500) * 2.0
+        out_lw, out_k = jax.vmap(
+            lambda m: psislw_batch(m, tail_length(500, 1.0))
+        )(jnp.asarray(lw, jnp.float64))
+        assert np.isfinite(np.asarray(out_k)).all()
+        flat_lw, flat_k = psislw_batch(
+            jnp.asarray(lw.reshape(12, 500), jnp.float64), tail_length(500, 1.0)
+        )
+        assert_allclose(
+            np.asarray(out_lw).reshape(12, 500),
+            np.asarray(flat_lw),
+            rtol=0,
+            atol=1e-10,
+        )

@@ -46,7 +46,7 @@ from .lse import logsumexp
 from .selection import topk_vals_desc
 from .psis import (
     _LINEAR_FIT_MIN_LOG_QUART,
-    _gpdfit_dispatch,
+    _gpdfit_batch,
     _gpdfit_from_y,
     _log1mexp,
     sislw_batch,
@@ -142,8 +142,12 @@ def _psis_tail_scores(
         log_quart = jnp.take_along_axis(log_exceed, q_desc[:, None], axis=1)[
             :, 0
         ]
-        k, sign_sigma, log_sigma = _gpdfit_dispatch(
-            log_exceed, n_tail, log_quart, log_exceed[:, 0], product=product
+        # the signed-log fit directly: identical to _gpdfit_dispatch for
+        # float32, and for float64 this branch IS the deep-tail fallback —
+        # routing through the dispatch would nest a second (dead) linear
+        # fit + cond into the compiled program for nothing
+        k, sign_sigma, log_sigma = _gpdfit_batch(
+            log_exceed, n_tail, log_quart=log_quart, log_last=log_exceed[:, 0]
         )
         u = -k[:, None] * log1m_p
         abs_u = jnp.abs(u)

@@ -122,6 +122,7 @@ def bench_draw_sweep():
             acc = acc + smooth_s(x, jnp.float32(i) * jnp.float32(1e-6))
         _ = float(acc)
         dt = (time.perf_counter() - t0) / 4
+        _stage(f"draw sweep S={s}: {rows / dt:.0f} obs/s")
         sweep[f"S={s}"] = {
             "rows": rows,
             "tail": m + 1,
@@ -218,8 +219,19 @@ def bench_exact_f64(base):
     return dt, settle_wall
 
 
+def _stage(msg):
+    """Stage progress on stderr (stdout is reserved for the JSON line) so a
+    timeout leaves a record of where the time went."""
+    print(f"[bench +{time.perf_counter() - _T_START:7.1f}s] {msg}",
+          file=sys.stderr, flush=True)
+
+
+_T_START = time.perf_counter()
+
+
 def main():
     dev = jax.devices()[0]
+    _stage(f"backend up: {dev}")
     m_tail = tail_length(N_DRAWS, 1.0)
     n_chunks = TOTAL_OBS // CHUNK
 
@@ -239,6 +251,7 @@ def main():
         return jnp.sum(elpd_i), jnp.sum(k), jnp.sum(lppd_i)
 
     zero = jnp.zeros((), jnp.float32)
+    _stage("f32 kernel: compiling")
     e, k, l = smooth(base[0], zero)  # compile + warm
     _ = float(e + k + l)
 
@@ -256,10 +269,14 @@ def main():
 
     obs_per_sec = TOTAL_OBS / wall
 
+    _stage(f"f32 salted loop done ({wall:.2f}s); streaming API bench")
     api_wall, api_cold_wall, api_warmup_wall, api_elpd = bench_streaming_api(dev)
+    _stage(f"streaming API done (warm {api_wall:.2f}s cold {api_cold_wall:.2f}s warmup {api_warmup_wall:.2f}s); f64 bench")
     f64_wall, f64_settle = bench_exact_f64(base)
     del base
+    _stage(f"f64 done ({f64_wall:.2f}s); draw sweep")
     draw_sweep = bench_draw_sweep()
+    _stage("draw sweep done; heavy tail")
     heavy_tail = bench_heavy_tail()
 
     # Headline = the public API path (loo_streaming): log-likelihood

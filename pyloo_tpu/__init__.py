@@ -73,10 +73,12 @@ from .models import ADVI, JAXModelWrapper, Laplace, Model
 PyMCWrapper = JAXModelWrapper
 from .loo_nonfactor import loo_nonfactor
 from .plots import (
+    compare_plot,
     influence_plot,
     loo_difference_plot,
     loo_pit_plot,
     loo_plot,
+    plot_compare,
     plot_influence,
     plot_loo,
     plot_loo_difference,
@@ -185,6 +187,8 @@ __all__ = [
     "influence_plot",
     "loo_difference_plot",
     "plot_loo",
+    "plot_compare",
+    "compare_plot",
     "plot_influence",
     "plot_loo_difference",
     "plot_loo_pit",

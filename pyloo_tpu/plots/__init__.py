@@ -1,5 +1,6 @@
 """Diagnostic plots (matplotlib backend)."""
 
+from .compare_plot import plot_compare
 from .influence_plot import plot_influence
 from .loo_difference_plot import plot_loo_difference
 from .loo_pit_plot import plot_loo_pit
@@ -10,12 +11,15 @@ loo_plot = plot_loo
 influence_plot = plot_influence
 loo_difference_plot = plot_loo_difference
 loo_pit_plot = plot_loo_pit
+compare_plot = plot_compare
 
 __all__ = [
     "plot_loo",
+    "plot_compare",
     "plot_influence",
     "plot_loo_difference",
     "plot_loo_pit",
+    "compare_plot",
     "loo_plot",
     "influence_plot",
     "loo_difference_plot",

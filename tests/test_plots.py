@@ -244,3 +244,59 @@ class TestPlotLooPit:
         pit = pl.loo_pit(d, y=y, y_hat=y_hat, reff=1.0)
         ax = pl.plot_loo_pit(pit)
         assert ax is not None
+
+
+class TestPlotCompare:
+    """Model-comparison forest plot over compare() output."""
+
+    @pytest.fixture(scope="class")
+    def comp(self, results):
+        r1, r2, _ = results
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            return pl.loo_compare({"centered": r1, "non_centered": r2})
+
+    def test_basic(self, comp):
+        ax = pl.plot_compare(comp)
+        labels = [t.get_text() for t in ax.get_yticklabels()]
+        # best-ranked model renders as the TOP row
+        assert labels == list(comp.sort_values("rank").index)
+        assert ax.get_xlabel().startswith("elpd loo")
+        # point estimates + diff triangles + best-model vline in the legend
+        legend = [t.get_text() for t in ax.get_legend().get_texts()]
+        assert any("elpd loo" in t for t in legend)
+        assert any("difference" in t for t in legend)
+
+    def test_no_diff_rows(self, comp):
+        ax = pl.plot_compare(comp, plot_ic_diff=False, legend=False)
+        assert ax.get_legend() is None
+        # exactly one errorbar group (no triangles)
+        assert len(ax.containers) == 1
+
+    def test_existing_axis_and_alias(self, comp):
+        fig, my_ax = plt.subplots()
+        out = pl.compare_plot(comp, ax=my_ax)
+        assert out is my_ax
+
+    def test_waic_column_detected(self, results):
+        r1c, _, c = results
+        nc = pl.load_example_data("non_centered_eight")
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            comp = pl.loo_compare(
+                {"centered": c, "non_centered": nc}, ic="waic"
+            )
+        ax = pl.plot_compare(comp)
+        assert ax.get_xlabel().startswith("elpd waic")
+
+    def test_rejects_non_compare_frame(self):
+        import pandas as pd
+
+        with pytest.raises(ValueError, match="elpd_<ic>"):
+            pl.plot_compare(pd.DataFrame({"a": [1.0]}))
+
+    def test_show_does_not_block(self, comp, monkeypatch):
+        shown = []
+        monkeypatch.setattr(plt, "show", lambda: shown.append(True))
+        pl.plot_compare(comp, show=True)
+        assert shown == [True]

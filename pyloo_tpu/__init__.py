@@ -25,6 +25,12 @@ if not logging.root.handlers:
 
 from .base import ISMethod, compute_importance_weights
 from .compare import loo_compare, loo_model_weights
+
+# arviz-style callable: ``pl.compare({...})``.  Binding the function over
+# the auto-inserted submodule attribute is deliberate — ``import
+# pyloo_tpu.compare`` still resolves the module through sys.modules, while
+# ``pl.compare(...)`` behaves like ``az.compare(...)`` for drop-in users.
+compare = loo_compare
 from .containers import DataArray, Dataset, InferenceData
 from .data import load_example_data
 from .e_loo import ExpectationResult, compute_pareto_k, e_loo, k_hat
@@ -79,6 +85,7 @@ from .plots import (
     loo_pit_plot,
     loo_plot,
     plot_compare,
+    plot_khat,
     plot_influence,
     plot_loo,
     plot_loo_difference,
@@ -134,6 +141,8 @@ __all__ = [
     "ELPDData",
     "loo",
     "loo_compare",
+    "compare",
+    "plot_khat",
     "loo_model_weights",
     "clear_streaming_cache",
     "e_loo_streaming",

@@ -12,6 +12,9 @@ influence_plot = plot_influence
 loo_difference_plot = plot_loo_difference
 loo_pit_plot = plot_loo_pit
 compare_plot = plot_compare
+# arviz drop-in name: az.plot_khat(loo_result) is plot_loo's default view
+# (Pareto-k scatter per observation)
+plot_khat = plot_loo
 
 __all__ = [
     "plot_loo",
@@ -20,6 +23,7 @@ __all__ = [
     "plot_loo_difference",
     "plot_loo_pit",
     "compare_plot",
+    "plot_khat",
     "loo_plot",
     "influence_plot",
     "loo_difference_plot",

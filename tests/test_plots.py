@@ -300,3 +300,18 @@ class TestPlotCompare:
         monkeypatch.setattr(plt, "show", lambda: shown.append(True))
         pl.plot_compare(comp, show=True)
         assert shown == [True]
+
+
+def test_arviz_style_aliases():
+    """az-style drop-in names: pl.compare(...) callable, pl.plot_khat."""
+    import importlib
+
+    assert callable(pl.compare) and pl.compare is pl.loo_compare
+    assert pl.plot_khat is pl.plot_loo
+    # the submodule stays importable through the canonical machinery even
+    # though the package attribute is rebound to the function
+    m = importlib.import_module("pyloo_tpu.compare")
+    assert hasattr(m, "loo_compare")
+    from pyloo_tpu.compare import loo_compare as lc
+
+    assert lc is pl.loo_compare

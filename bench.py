@@ -129,6 +129,8 @@ def bench_draw_sweep():
             "route": fast_path_route(rows, s, m + 1, jnp.float32),
             "obs_per_sec": round(rows / dt, 1),
         }
+        # land completed rows immediately so a truncated run keeps them
+        _PARTIAL["detail"]["fast_kernel_draw_sweep"] = dict(sweep)
         del x
     return sweep
 
@@ -228,10 +230,51 @@ def _stage(msg):
 
 _T_START = time.perf_counter()
 
+# Progressive result assembly: each completed stage lands its numbers here,
+# and a SIGTERM (what `timeout` and most drivers send) emits the JSON for
+# whatever finished instead of dying silently.  A fully cold axon server
+# spends ~5 min compiling the resident-chunk RNG program alone, so a tight
+# external budget must still yield a usable (marked-truncated) result line.
+_PARTIAL = {
+    "metric": "loo_1m_x_4k_draws_obs_per_sec",
+    "value": None,
+    "unit": "obs/s",
+    "vs_baseline": None,
+    "detail": {"total_obs": TOTAL_OBS, "n_draws": N_DRAWS},
+}
+_STAGE_NAME = ["startup"]
+
+
+def _emit_partial(signum, frame):
+    _PARTIAL["detail"]["truncated_at_stage"] = _STAGE_NAME[0]
+    _PARTIAL["detail"]["truncated_wall_s"] = round(
+        time.perf_counter() - _T_START, 1
+    )
+    if _PARTIAL["value"] is None:
+        # headline stage never finished: fall back to the salted kernel
+        # loop's number if that stage completed, else report zero progress
+        kv = _PARTIAL["detail"].get("kernel_salted_loop_obs_per_sec")
+        _PARTIAL["value"] = kv if kv is not None else 0.0
+        _PARTIAL["vs_baseline"] = round(
+            (_PARTIAL["value"] or 0.0) / REFERENCE_OBS_PER_SEC, 2
+        )
+        _PARTIAL["detail"]["metric_note"] = (
+            "TRUNCATED RUN (SIGTERM before the streaming-API stage):"
+            " value falls back to the salted kernel loop"
+        )
+    print(json.dumps(_PARTIAL), flush=True)
+    os._exit(0)
+
 
 def main():
+    import signal
+
+    signal.signal(signal.SIGTERM, _emit_partial)
     dev = jax.devices()[0]
+    _PARTIAL["detail"]["device"] = str(dev)
+    _PARTIAL["detail"]["dtype"] = "float32"
     _stage(f"backend up: {dev}")
+    _STAGE_NAME[0] = "resident chunk materialization"
     m_tail = tail_length(N_DRAWS, 1.0)
     n_chunks = TOTAL_OBS // CHUNK
 
@@ -252,6 +295,7 @@ def main():
 
     zero = jnp.zeros((), jnp.float32)
     _stage("f32 kernel: compiling")
+    _STAGE_NAME[0] = "f32 kernel compile + salted loop"
     e, k, l = smooth(base[0], zero)  # compile + warm
     _ = float(e + k + l)
 
@@ -268,15 +312,40 @@ def main():
     mean_khat = float(ksum) / TOTAL_OBS
 
     obs_per_sec = TOTAL_OBS / wall
+    _PARTIAL["detail"].update(
+        kernel_salted_loop_obs_per_sec=round(obs_per_sec, 1),
+        kernel_salted_loop_wall_s=round(wall, 3),
+        mean_khat=round(mean_khat, 4),
+    )
 
     _stage(f"f32 salted loop done ({wall:.2f}s); streaming API bench")
+    _STAGE_NAME[0] = "streaming API (warmup + cold + warm)"
     api_wall, api_cold_wall, api_warmup_wall, api_elpd = bench_streaming_api(dev)
+    _PARTIAL["value"] = round(TOTAL_OBS / api_wall, 1)
+    _PARTIAL["vs_baseline"] = round(
+        TOTAL_OBS / api_wall / REFERENCE_OBS_PER_SEC, 2
+    )
+    _PARTIAL["detail"].update(
+        api_loo_streaming_wall_s=round(api_wall, 3),
+        api_loo_streaming_cold_wall_s=round(api_cold_wall, 3),
+        api_warmup_wall_s=round(api_warmup_wall, 3),
+        api_loo_streaming_elpd=round(api_elpd, 1),
+    )
     _stage(f"streaming API done (warm {api_wall:.2f}s cold {api_cold_wall:.2f}s warmup {api_warmup_wall:.2f}s); f64 bench")
+    _STAGE_NAME[0] = "exact f64"
     f64_wall, f64_settle = bench_exact_f64(base)
     del base
+    _PARTIAL["detail"].update(
+        exact_f64_wall_s=round(f64_wall, 3),
+        exact_f64_obs_per_sec=round(TOTAL_OBS / f64_wall, 1),
+        exact_f64_settle_wall_s=round(f64_settle, 3),
+    )
     _stage(f"f64 done ({f64_wall:.2f}s); draw sweep")
+    _STAGE_NAME[0] = "draw sweep"
     draw_sweep = bench_draw_sweep()
+    _PARTIAL["detail"]["fast_kernel_draw_sweep"] = draw_sweep
     _stage("draw sweep done; heavy tail")
+    _STAGE_NAME[0] = "heavy tail"
     heavy_tail = bench_heavy_tail()
 
     # Headline = the public API path (loo_streaming): log-likelihood

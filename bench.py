@@ -153,22 +153,32 @@ def bench_heavy_tail():
     @jax.jit
     def smooth_s(chunk, salt):
         e, k, l, _d = loo_scores_psis_fast(-(chunk + salt), m)
-        return jnp.sum(e), jnp.sum(k)
+        # k = +inf marks degenerate tails (sigma <= 0 / tied tail): keep the
+        # JSON strictly parseable by summarizing finite k and counting inf
+        fin = jnp.isfinite(k)
+        return (
+            jnp.sum(e),
+            jnp.sum(jnp.where(fin, k, 0.0)),
+            jnp.sum(fin),
+        )
 
-    e0, k0 = smooth_s(x, jnp.float32(0.0))
-    _ = float(e0 + k0)
+    e0, k0, n0 = smooth_s(x, jnp.float32(0.0))
+    _ = float(e0 + k0 + n0)
     t0 = time.perf_counter()
     acc = jnp.zeros((), jnp.float32)
     ksum = jnp.zeros((), jnp.float32)
+    nfin = jnp.zeros((), jnp.float32)
     for i in range(4):
-        e, kv = smooth_s(x, jnp.float32(i) * jnp.float32(1e-6))
-        acc, ksum = acc + e, ksum + kv
+        e, kv, nf = smooth_s(x, jnp.float32(i) * jnp.float32(1e-6))
+        acc, ksum, nfin = acc + e, ksum + kv, nfin + nf
     _ = float(acc)
     dt = (time.perf_counter() - t0) / 4
+    n_fin = float(nfin)
     return {
         "rows": rows,
         "n_draws": s,
-        "mean_khat": round(float(ksum) / (4 * rows), 4),
+        "mean_finite_khat": round(float(ksum) / max(n_fin, 1.0), 4),
+        "frac_k_nonfinite": round(1.0 - n_fin / (4 * rows), 4),
         "obs_per_sec": round(rows / dt, 1),
     }
 
@@ -230,6 +240,18 @@ def _stage(msg):
 
 _T_START = time.perf_counter()
 
+
+def _sanitize(obj):
+    """Strict-JSON guard: json.dumps would emit bare Infinity/NaN literals
+    (invalid JSON) for non-finite floats; stringify them instead."""
+    if isinstance(obj, dict):
+        return {k: _sanitize(v) for k, v in obj.items()}
+    if isinstance(obj, (list, tuple)):
+        return [_sanitize(v) for v in obj]
+    if isinstance(obj, float) and (obj != obj or obj in (float("inf"), float("-inf"))):
+        return str(obj)
+    return obj
+
 # Progressive result assembly: each completed stage lands its numbers here,
 # and a SIGTERM (what `timeout` and most drivers send) emits the JSON for
 # whatever finished instead of dying silently.  A fully cold axon server
@@ -262,7 +284,7 @@ def _emit_partial(signum, frame):
             "TRUNCATED RUN (SIGTERM before the streaming-API stage):"
             " value falls back to the salted kernel loop"
         )
-    print(json.dumps(_PARTIAL), flush=True)
+    print(json.dumps(_sanitize(_PARTIAL)), flush=True)
     os._exit(0)
 
 
@@ -396,7 +418,7 @@ def main():
             "heavy_tail_bench": heavy_tail,
         },
     }
-    print(json.dumps(result))
+    print(json.dumps(_sanitize(result)))
 
 
 def _main_with_retries():

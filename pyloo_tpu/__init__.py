@@ -24,13 +24,26 @@ if not logging.root.handlers:
     )
 
 from .base import ISMethod, compute_importance_weights
+from . import compare as _compare_module
 from .compare import loo_compare, loo_model_weights
 
-# arviz-style callable: ``pl.compare({...})``.  Binding the function over
-# the auto-inserted submodule attribute is deliberate — ``import
-# pyloo_tpu.compare`` still resolves the module through sys.modules, while
-# ``pl.compare(...)`` behaves like ``az.compare(...)`` for drop-in users.
-compare = loo_compare
+# arviz-style callable: ``pl.compare({...})``.  Rather than shadowing the
+# ``pyloo_tpu.compare`` submodule with the function (which would break
+# ``import pyloo_tpu.compare as c`` and ``pyloo_tpu.compare.loo_compare``),
+# the submodule is made callable: calling it forwards to ``loo_compare``,
+# so both the az-style callable and the module path work.
+import types as _types
+
+
+class _CallableCompareModule(_types.ModuleType):
+    """Module type for ``pyloo_tpu.compare`` that forwards calls to loo_compare."""
+
+    def __call__(self, *args, **kwargs):
+        return self.loo_compare(*args, **kwargs)
+
+
+_compare_module.__class__ = _CallableCompareModule
+compare = _compare_module
 from .containers import DataArray, Dataset, InferenceData
 from .data import load_example_data
 from .e_loo import ExpectationResult, compute_pareto_k, e_loo, k_hat

@@ -78,10 +78,14 @@ def plot_compare(
 
     if plot_ic_diff and n > 1:
         mask = np.arange(n) != best_idx
-        # diff rows are plotted at best-elpd minus the difference so the
-        # triangles line up under their model row on the same x axis
+        # diff rows carry the model's own point estimate with the dSE bar:
+        # elpd_diff is signed (model - best on log scale, flipped on
+        # deviance/negative_log), so reconstructing "best - diff" lands on
+        # the wrong side of the best-model line for half the scales.  The
+        # model's own elpd is sign-convention-proof and visually identical
+        # whenever diff == elpd - best (always true on the native scale).
         ax.errorbar(
-            elpd[best_idx] - diff[mask],
+            elpd[mask],
             yticks[mask] - step,
             xerr=dse[mask],
             fmt="^",

@@ -267,6 +267,24 @@ class TestPlotCompare:
         assert any("elpd loo" in t for t in legend)
         assert any("difference" in t for t in legend)
 
+    def test_diff_triangle_positions(self, comp):
+        """Triangles must sit at each non-best model's own point estimate.
+
+        Regression test: elpd_diff is signed (model - best on log scale),
+        so reconstructing ``best - diff`` mirrors the triangle to the wrong
+        side of the best-model line.  The backend plots elpd[mask] directly.
+        """
+        ax = pl.plot_compare(comp)
+        df = comp.sort_values("rank")
+        ic = next(c for c in df.columns if c.startswith("elpd_") and c != "elpd_diff")
+        elpd = np.asarray(df[ic], dtype=float)
+        best_idx = int(np.asarray(df["rank"], dtype=int).argmin())
+        expected_x = np.delete(elpd, best_idx)
+        # second errorbar container carries the diff triangles
+        tri = ax.containers[1]
+        got_x = np.asarray(tri[0].get_xdata(), dtype=float)
+        np.testing.assert_allclose(np.sort(got_x), np.sort(expected_x), rtol=1e-12)
+
     def test_no_diff_rows(self, comp):
         ax = pl.plot_compare(comp, plot_ic_diff=False, legend=False)
         assert ax.get_legend() is None
@@ -306,12 +324,34 @@ def test_arviz_style_aliases():
     """az-style drop-in names: pl.compare(...) callable, pl.plot_khat."""
     import importlib
 
-    assert callable(pl.compare) and pl.compare is pl.loo_compare
+    assert callable(pl.compare)
     assert pl.plot_khat is pl.plot_loo
-    # the submodule stays importable through the canonical machinery even
-    # though the package attribute is rebound to the function
+    # pl.compare is the (callable) submodule: calling it forwards to
+    # loo_compare, and every module access path keeps working
     m = importlib.import_module("pyloo_tpu.compare")
+    assert m is pl.compare
     assert hasattr(m, "loo_compare")
     from pyloo_tpu.compare import loo_compare as lc
 
     assert lc is pl.loo_compare
+    # plain `import pyloo_tpu.compare as c` binds the module, not a function
+    import pyloo_tpu.compare as c
+
+    assert c is m
+    assert c.loo_compare is pl.loo_compare
+
+
+def test_callable_compare_module_forwards():
+    """pl.compare({...}) behaves exactly like pl.loo_compare({...})."""
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        c = pl.load_example_data("centered_eight")
+        nc = pl.load_example_data("non_centered_eight")
+        r = {"c": pl.loo(c, pointwise=True), "nc": pl.loo(nc, pointwise=True)}
+        via_module = pl.compare(r)
+        via_func = pl.loo_compare(r)
+    assert list(via_module.index) == list(via_func.index)
+    np.testing.assert_allclose(
+        np.asarray(via_module["elpd_loo"], dtype=float),
+        np.asarray(via_func["elpd_loo"], dtype=float),
+    )

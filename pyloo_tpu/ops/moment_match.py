@@ -35,7 +35,61 @@ import jax.numpy as jnp
 
 from .psis import psislw_batch
 
-__all__ = ["batched_moment_match"]
+__all__ = [
+    "batched_moment_match",
+    "split_transform_halves",
+    "split_mixture_log_weights",
+]
+
+
+@partial(jax.jit, static_argnames=("use_cov",))
+def split_transform_halves(upars, shift, scaling, mapping, mapping_inv, *, use_cov):
+    """Split-MM draw matrices: forward transform on the first S/2 draws,
+    inverse transform on the last S/2 (capability of reference
+    ``pyloo/split_moment_match.py:141-161``, realized as one fused device
+    program instead of host NumPy copies).
+
+    The accumulated affine map is ``u -> (u - m) * scaling @ mapping.T + m +
+    shift`` with ``m`` the draw mean; its inverse uses ``mapping_inv``
+    (computed host-side: a tiny P x P inverse, avoiding LU on TPU).
+
+    Returns ``(half_fwd, half_inv)``: each is ``upars`` with one half
+    replaced by the transformed draws.
+    """
+    S = upars.shape[0]
+    half = S // 2
+    mean = jnp.mean(upars, axis=0)
+    centered = upars - mean[None, :]
+    fwd = centered * scaling[None, :]
+    if use_cov:
+        fwd = fwd @ mapping.T
+    fwd = fwd + (shift + mean)[None, :]
+    inv = centered
+    if use_cov:
+        inv = inv @ mapping_inv.T
+    inv = inv / scaling[None, :] + (mean - shift)[None, :]
+    row = jnp.arange(S)[:, None]
+    half_fwd = jnp.where(row < half, fwd, upars)
+    half_inv = jnp.where(row < half, upars, inv)
+    return half_fwd, half_inv
+
+
+@jax.jit
+def split_mixture_log_weights(log_liki, log_prob_fwd, log_prob_inv_adj):
+    """Deterministic two-component-mixture importance log-weights.
+
+    The proposal is the 50/50 mixture of the forward- and inverse-
+    transformed halves, so the unnormalized log-weight of draw s is
+    ``-log p(y_i|s) + log p(s) - log(p_fwd(s) + p_inv(s))`` (the mixture 1/2
+    cancels in PSIS normalization).  ``log_prob_inv_adj`` must already carry
+    the inverse map's Jacobian correction.  ``jnp.logaddexp`` supplies the
+    stable evaluation of the mixture denominator in every ordering
+    (capability of reference ``pyloo/split_moment_match.py:220-242``).
+    NaN / +inf weights collapse to -inf, matching the host fallbacks.
+    """
+    lwi = -log_liki + log_prob_fwd - jnp.logaddexp(log_prob_fwd, log_prob_inv_adj)
+    bad = jnp.isnan(lwi) | (lwi == jnp.inf)
+    return jnp.where(bad, -jnp.inf, lwi)
 
 
 def _plain_cov(x):

@@ -348,3 +348,56 @@ class TestLinearFitExtremes:
         e_ref = sp_lse(ref_lw + ll, axis=1)
         np.testing.assert_allclose(np.asarray(k), ref_k, rtol=1e-11, atol=1e-11)
         np.testing.assert_allclose(np.asarray(e), e_ref, rtol=1e-11, atol=1e-11)
+
+
+class TestKhatTailOrderingDivergence:
+    """Pin the DOCUMENTED divergence from the reference on e_loo's k_hat.
+
+    The reference feeds a *descending* tail slice whose last element is an
+    exact zero into ``_gpdfit`` (/root/reference/pyloo/e_loo.py:350-357):
+    the ``1/ary[-1]`` term is infinite, every candidate log1p argument is
+    NaN-poisoned, and the empirical-Bayes fit collapses to the prior
+    constant ``5/(tail_len+10)`` regardless of the data.  This package
+    implements the intended diagnostic (exceedances over the
+    (tail_len+1)-th order statistic, ascending — matching R `loo`'s
+    posterior::pareto_khat contract).  See docs/API.md "k_hat divergence".
+    """
+
+    TAIL = 20
+
+    @pytest.fixture
+    def heavy_lr(self):
+        rng = np.random.default_rng(42)
+        return rng.standard_t(df=3, size=1000)
+
+    def test_reference_collapses_to_prior_constant(self, heavy_lr):
+        ref_eloo = load_reference_module("e_loo")
+        with np.errstate(divide="ignore", invalid="ignore"):
+            k_ref = ref_eloo.k_hat(None, heavy_lr, self.TAIL)
+        # heavy t(3) ratios: the true tail index is ~1.4, but the reference
+        # reports the data-independent prior mean
+        assert k_ref == pytest.approx(5.0 / (self.TAIL + 10), abs=1e-15)
+
+    def test_repo_matches_ascending_oracle(self, heavy_lr):
+        from pyloo_tpu.ops.expectations import khat_batch
+
+        # independent oracle: reference's own _gpdfit on CORRECTLY ordered
+        # exceedances over the (tail_len+1)-th largest order statistic
+        r = np.exp(heavy_lr - heavy_lr.max())
+        s = np.sort(r)
+        exceed = s[-self.TAIL:] - s[-(self.TAIL + 1)]
+        k_oracle, _ = ref_psis._gpdfit(np.ascontiguousarray(exceed))
+
+        k_repo = float(
+            np.asarray(
+                khat_batch(
+                    heavy_lr[None, :],
+                    heavy_lr[None, :],
+                    tail_len=self.TAIL,
+                    use_h=False,
+                )
+            )[0]
+        )
+        np.testing.assert_allclose(k_repo, k_oracle, rtol=1e-10)
+        # and it is far from the reference's collapsed constant
+        assert abs(k_repo - 5.0 / (self.TAIL + 10)) > 1.0

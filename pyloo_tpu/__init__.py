@@ -83,13 +83,11 @@ from .loo_kfold import (
     loo_kfold,
 )
 from .reloo import reloo
-from .models import ADVI, JAXModelWrapper, Laplace, Model
+from .models import ADVI, JAXModelWrapper, Laplace, Model, PyMCWrapper
 
-# Name-compat alias: reference code imports `PyMCWrapper` (reference
-# pyloo/__init__.py:70); its role here is filled by JAXModelWrapper over a
-# functional JAX Model.  Passing an actual PyMC model raises a TypeError
-# explaining the port (PyTensor graphs cannot run on TPU).
-PyMCWrapper = JAXModelWrapper
+# `PyMCWrapper` (reference pyloo/__init__.py:70) accepts BOTH a live
+# ``pm.Model`` (compiled onto TPU through PyTensor's JAX backend, see
+# pyloo_tpu/models/pymc_adapter.py) and a native functional Model.
 from .loo_nonfactor import loo_nonfactor
 from .plots import (
     compare_plot,

@@ -18,6 +18,7 @@ from .examples import (
     wells_model,
 )
 from .wrapper import JAXModelWrapper, Model
+from .pymc_adapter import PyMCWrapper, PyTensorJaxBridge, from_pymc
 
 __all__ = [
     "sample_hmc",
@@ -32,5 +33,8 @@ __all__ = [
     "roaches_model",
     "wells_model",
     "JAXModelWrapper",
+    "PyMCWrapper",
+    "PyTensorJaxBridge",
+    "from_pymc",
     "Model",
 ]

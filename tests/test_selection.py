@@ -290,10 +290,10 @@ class TestPallasEnvelope:
             (2000, 191),    # n_segs=8 ragged (bench-adjacent)
             (4096, 256),    # n_segs=16 exact fit, max k for N=256
             (4097, 100),    # n_segs=32 just past the old 4096 limit
-            (8000, 270),    # 4 chains x 2000 draws, M+1=270 -> N=512
-            (8192, 512),    # N=512 exact fit, max k
-            (16000, 191),   # n_segs=64 at N=256
-            (16384, 257),   # N=512, n_segs=32
+            pytest.param(8000, 270, marks=pytest.mark.slow),  # N=512
+            pytest.param(8192, 512, marks=pytest.mark.slow),  # max k
+            pytest.param(16000, 191, marks=pytest.mark.slow),
+            pytest.param(16384, 257, marks=pytest.mark.slow),
             (513, 512),     # minimal width above one 512-list
         ],
     )
@@ -357,7 +357,7 @@ class TestPallasEnvelope:
         [
             (2000, 191),
             (4097, 100),   # past the old 4096 limit
-            (8000, 270),   # N=512 path
+            pytest.param(8000, 270, marks=pytest.mark.slow),  # N=512 path
         ],
     )
     def test_prepass_shapes(self, rng, s, k):
@@ -492,6 +492,7 @@ class TestLargeSEnvelope:
         )
         assert_allclose(np.asarray(log_sum_ll), np.asarray(want_lse), rtol=2e-6)
 
+    @pytest.mark.slow
     def test_multipass_ties_across_part_boundaries(self, rng):
         from pyloo_tpu.ops.pallas_topk import pallas_loo_prepass_multi
 

@@ -155,27 +155,41 @@ def _gen_program(
     dtype = jnp.dtype(dtype_str)
     kwargs = {} if sharding is None else {"out_shardings": sharding}
 
-    # the generator must not hold a strong reference back to the callback
-    # (the cache VALUE would pin the weak KEY forever); trace-time lookups
-    # go through a weakref, which is live whenever a caller can invoke gen
-    if per_fn is not None:
-        fn_ref = weakref.ref(log_lik_fn)
-    else:
-        fn_ref = lambda: log_lik_fn  # uncacheable callables: plain capture
+    # Trace the callback ONCE here and hoist every closure-captured array
+    # into a runtime argument.  Jitting the closure directly would bake the
+    # arrays into the program as literal HLO constants — a 1M x 32 design
+    # matrix plus its response vector becomes a ~140 MB serialized module —
+    # which multiplies compile latency (catastrophically so under a
+    # remote-compile plugin, where the module ships over the wire) and
+    # re-ships the data at every compile.  (Round-5 fix: BENCH_r04's 63 s
+    # first-call latency was almost entirely constant-baked HLO compile.)
+    def _traceable(i):
+        return jnp.asarray(log_lik_fn(i))
+
+    closed = jax.make_jaxpr(_traceable)(
+        np.zeros((chunk_size,), np.int32)
+    )
+    consts = list(closed.consts)
+    jaxpr = closed.jaxpr
 
     @partial(jax.jit, **kwargs)
-    def gen(c):
-        fn = fn_ref()
-        if fn is None:  # pragma: no cover - caller always holds the callback
-            raise RuntimeError("log_lik_fn was garbage-collected")
+    def gen_param(c, consts):
         start = c * chunk_size
         idx = start + jnp.arange(chunk_size, dtype=jnp.int32)
-        ll = fn(jnp.minimum(idx, n_obs - 1)).astype(dtype)
+        idx = jnp.minimum(idx, n_obs - 1)
+        (ll,) = jax.core.eval_jaxpr(jaxpr, consts, idx)
+        ll = ll.astype(dtype)
         if tiled_k is not None:
             from .ops.pallas_topk import tile_rows
 
             return tile_rows(-ll, tiled_k)
         return ll
+
+    # the cache VALUE references only the jaxpr and the captured arrays,
+    # never the callback object itself, so the weak KEY stays collectable;
+    # the arrays are pinned exactly as long as the callback that owns them
+    def gen(c):
+        return gen_param(c, consts)
 
     if per_fn is not None:
         per_fn[geom_key] = gen

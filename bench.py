@@ -454,8 +454,23 @@ def _emit_partial(signum, frame):
 
 def main():
     import signal
+    import threading
 
     signal.signal(signal.SIGTERM, _emit_partial)
+
+    # Watchdog: a wedged TPU tunnel (seen round 5: the remote endpoint
+    # stopped serving and every RPC blocked forever) hangs the process
+    # without any exception, and a driver that SIGKILLs records nothing.
+    # Emit the partial result and exit before that point.  Generous default
+    # (50 min) — a fully cold axon server legitimately needs ~10 min.
+    deadline = float(os.environ.get("PYLOO_BENCH_WATCHDOG_SECS", "3000"))
+
+    def _watchdog():
+        time.sleep(deadline)
+        _stage(f"WATCHDOG: {deadline:.0f}s deadline hit; emitting partial")
+        _emit_partial(None, None)
+
+    threading.Thread(target=_watchdog, daemon=True).start()
     dev = jax.devices()[0]
     _PARTIAL["detail"]["device"] = str(dev)
     _PARTIAL["detail"]["dtype"] = "float32"

@@ -280,3 +280,18 @@ class TestLivePyMC:
             orig = pl.loo(w.idata, pointwise=True)
             mm = pl.loo_moment_match(w, orig, split=True, k_threshold=0.5)
         assert np.isfinite(float(mm["elpd_loo"]))
+
+
+class TestKfoldOnBridge:
+    def test_kfold_refits_bridge_model(self, bridge, fitted):
+        """loo_kfold drives the functional leave-out logp: K=4 folds refit
+        via this package's HMC and produce finite fold elpds."""
+        model, idata = fitted
+        w = pl.PyMCWrapper(
+            model, idata, sample_kwargs=dict(draws=150, tune=150, chains=2)
+        )
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            r = pl.loo_kfold(w, K=4, seed=0)
+        assert np.isfinite(float(r["elpd_kfold"]))
+        assert int(r["K"]) == 4

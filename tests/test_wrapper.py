@@ -219,10 +219,12 @@ class TestWrapperSampling:
 
 
 def test_pymcwrapper_alias_and_type_error():
-    """Reference name-compat: `PyMCWrapper` resolves to JAXModelWrapper and
-    rejects non-Model objects with a porting hint."""
+    """Reference name-compat: `PyMCWrapper` subclasses JAXModelWrapper
+    (round 5: it additionally accepts a live pm.Model through the PyTensor
+    JAX-backend adapter) and still rejects arbitrary objects with a
+    porting hint."""
     import pyloo_tpu as pl
 
-    assert pl.PyMCWrapper is pl.JAXModelWrapper
+    assert issubclass(pl.PyMCWrapper, pl.JAXModelWrapper)
     with pytest.raises(TypeError, match="jittable"):
         pl.PyMCWrapper(object())

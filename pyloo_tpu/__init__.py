@@ -141,7 +141,7 @@ from .warmup import _apply_compilation_cache as _pyloo_apply_compilation_cache
 _pyloo_apply_compilation_cache()
 from .waic import waic
 
-__version__ = "0.4.0"
+__version__ = "0.5.0"
 
 __all__ = [
     "ISMethod",

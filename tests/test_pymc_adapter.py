@@ -295,3 +295,32 @@ class TestKfoldOnBridge:
             r = pl.loo_kfold(w, K=4, seed=0)
         assert np.isfinite(float(r["elpd_kfold"]))
         assert int(r["K"]) == 4
+
+
+class TestVariationalOnBridge:
+    """Laplace / ADVI run unchanged on a bridge-adapted PyMC model,
+    completing the reference's Laplace-wrapper workflow (pyloo
+    wrapper/pymc/laplace.py:56-506) for live-PyMC users on TPU."""
+
+    def test_laplace_fit(self, bridge):
+        model = from_bridge(bridge)
+        res = pl.Laplace(model).fit(draws=300, chains=2, seed=0)
+        assert np.isfinite(res.mu).all()
+        assert res.H_inv.shape == (2, 2)
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            lap = pl.Laplace(model)
+            lap.result = res
+            log_p = lap.compute_logp(res.idata)
+            log_q = lap.compute_logq(res.idata)
+            r = pl.loo_approximate_posterior(
+                res.idata, log_p=log_p, log_q=log_q, pointwise=True
+            )
+        assert np.isfinite(float(r["elpd_loo"]))
+
+    def test_advi_fit(self, bridge):
+        model = from_bridge(bridge)
+        advi = pl.ADVI(model, method="meanfield")
+        res = advi.fit(n=2000, seed=0, draws=300, chains=2)
+        assert np.isfinite(res.mean).all()
+        assert res.idata is not None

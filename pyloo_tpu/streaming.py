@@ -191,6 +191,12 @@ def _gen_program(
     def gen(c):
         return gen_param(c, consts)
 
+    # introspection hooks for the cold-start regression tests: the jitted
+    # program and the hoisted constants (tests lower `gen.program` and
+    # assert the serialized module stays small)
+    gen.program = gen_param
+    gen.consts = consts
+
     if per_fn is not None:
         per_fn[geom_key] = gen
     return gen

@@ -1349,3 +1349,49 @@ class TestResolveChunk:
         c, n = _resolve_chunk(None, 1000, 100, jnp.dtype(jnp.float64), mesh)
         assert c % 8 == 0
         assert n * c - 1000 < 8
+
+
+class TestGeneratorConstantHoisting:
+    """Round-5 cold-start guard: the chunk generator's HLO must NOT carry
+    closure-captured data arrays as literal constants (BENCH_r04's 63 s
+    first-call compile was a ~126 MB constant-baked module)."""
+
+    def _make_fn(self, n_obs, n_draws, n_feat=16):
+        rng = np.random.default_rng(0)
+        xw = jnp.asarray(rng.normal(size=(n_obs, n_feat)).astype(np.float32))
+        beta = jnp.asarray(
+            rng.normal(size=(n_draws, n_feat)).astype(np.float32)
+        )
+
+        def log_lik_fn(idx):
+            return xw[idx] @ beta.T
+
+        return log_lik_fn, xw, beta
+
+    def test_hlo_stays_small(self):
+        from pyloo_tpu.streaming import _gen_program
+
+        n_obs, n_draws, chunk = 50_000, 64, 1000
+        fn, xw, beta = self._make_fn(n_obs, n_draws)
+        data_bytes = xw.nbytes + beta.nbytes  # ~3.2 MB
+        gen = _gen_program(fn, chunk, n_obs, "float32", None)
+        lowered = gen.program.lower(jnp.asarray(0, jnp.int32), gen.consts)
+        proto = lowered.compiler_ir("hlo").as_serialized_hlo_module_proto()
+        # the arrays must be parameters, not baked constants: the module
+        # must be orders of magnitude smaller than the data it consumes
+        assert len(proto) < data_bytes / 10, (
+            f"HLO module is {len(proto)} bytes for {data_bytes} bytes of"
+            " closure data — constants are being baked again"
+        )
+        assert len(gen.consts) == 2  # both arrays hoisted
+
+    def test_hoisted_generator_matches_direct_eval(self):
+        from pyloo_tpu.streaming import _gen_program, clear_streaming_cache
+
+        n_obs, n_draws, chunk = 2048, 32, 256
+        fn, _, _ = self._make_fn(n_obs, n_draws)
+        clear_streaming_cache(fn)
+        gen = _gen_program(fn, chunk, n_obs, "float32", None)
+        got = np.asarray(gen(jnp.asarray(3, jnp.int32)))
+        want = np.asarray(fn(jnp.arange(3 * chunk, 4 * chunk)))
+        np.testing.assert_allclose(got, want, rtol=1e-6)

@@ -324,3 +324,64 @@ class TestVariationalOnBridge:
         res = advi.fit(n=2000, seed=0, draws=300, chains=2)
         assert np.isfinite(res.mean).all()
         assert res.idata is not None
+
+
+class TestVectorParams:
+    """Raveling-order coverage: vector + matrix value-vars through the
+    bridge (the flat order must match Model.ravel / param_shapes order)."""
+
+    @pytest.fixture()
+    def vec_bridge(self):
+        rng = np.random.default_rng(5)
+        y = rng.normal(size=12)
+        yj = jnp.asarray(y)
+
+        def log_lik(p):
+            mu = p["beta"][0] + p["beta"][1] * jnp.arange(12.0)
+            s = jnp.exp(p["sigma_log__"])
+            return -0.5 * jnp.log(2 * jnp.pi) - jnp.log(s) - 0.5 * ((yj - mu) / s) ** 2
+
+        def logp(p):
+            return (
+                -0.5 * jnp.sum(p["beta"] ** 2)
+                - 0.5 * p["sigma_log__"] ** 2
+                + p["sigma_log__"]
+                + jnp.sum(log_lik(p))
+            )
+
+        return PyTensorJaxBridge(
+            name="vec",
+            param_shapes={"beta": (2,), "sigma_log__": ()},
+            logp=logp,
+            log_lik=log_lik,
+            observed={"y": y},
+            constrain=lambda p: {
+                "beta": p["beta"], "sigma": jnp.exp(p["sigma_log__"]),
+            },
+            forward=lambda c: {
+                "beta": c["beta"], "sigma_log__": jnp.log(c["sigma"]),
+            },
+            free_names=("beta", "sigma"),
+        )
+
+    def test_unconstrain_flat_order(self, vec_bridge):
+        C, T = 2, 3
+        rng = np.random.default_rng(0)
+        beta = rng.normal(size=(C, T, 2))
+        sigma = np.abs(rng.normal(size=(C, T))) + 0.5
+        flat = unconstrain_posterior(vec_bridge, {"beta": beta, "sigma": sigma})
+        assert flat.shape == (C, T, 3)
+        np.testing.assert_allclose(flat[..., :2], beta, rtol=1e-7)
+        np.testing.assert_allclose(flat[..., 2], np.log(sigma), rtol=1e-7)
+        # and Model.unravel round-trips the same order
+        model = from_bridge(vec_bridge)
+        up = model.unravel(jnp.asarray(flat[0, 0]))
+        np.testing.assert_allclose(np.asarray(up["beta"]), beta[0, 0], rtol=1e-7)
+
+    def test_fit_and_loo_end_to_end(self, vec_bridge):
+        model = from_bridge(vec_bridge)
+        idata = fit(model, draws=200, tune=200, chains=2, seed=1)
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            r = pl.loo(idata, pointwise=True)
+        assert np.asarray(r.loo_i).shape == (12,)

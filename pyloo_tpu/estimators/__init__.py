@@ -7,6 +7,10 @@ weighted Hansen-Hurwitz PPS estimator, plus the index-drawing helpers.
 
 from .base import (
     BaseEstimate,
+    DiffEstimate,
+    EstimatorProtocol,
+    HHEstimate,
+    SRSEstimate,
     SubsampleIndices,
     compare_indices,
     subsample_indices,
@@ -17,7 +21,9 @@ from .hansen_hurwitz import (
     compute_sampling_probabilities,
     hansen_hurwitz_estimate,
 )
+from .hansen_hurwitz import estimate_elpd_loo as hh_estimate_elpd_loo
 from .srs import SimpleRandomSamplingEstimator, srs_estimate
+from .srs import estimate_elpd_loo as srs_estimate_elpd_loo
 
 ESTIMATOR_REGISTRY = {
     "diff_srs": DifferenceEstimator,
@@ -39,6 +45,12 @@ def get_estimator(method: str):
 
 __all__ = [
     "BaseEstimate",
+    "EstimatorProtocol",
+    "DiffEstimate",
+    "HHEstimate",
+    "SRSEstimate",
+    "hh_estimate_elpd_loo",
+    "srs_estimate_elpd_loo",
     "SubsampleIndices",
     "subsample_indices",
     "compare_indices",

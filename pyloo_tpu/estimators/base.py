@@ -3,7 +3,7 @@
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Dict
+from typing import Dict, Protocol, runtime_checkable
 
 import numpy as np
 
@@ -100,3 +100,25 @@ def compare_indices(
             m_i=current_indices.m_i[remove_mask],
         )
     return result
+
+
+@runtime_checkable
+class EstimatorProtocol(Protocol):
+    """Runtime-checkable estimator interface (reference
+    ``estimators/base.py:56-72``): anything with an ``estimate`` method
+    producing a :class:`BaseEstimate`."""
+
+    def estimate(self, *args, **kwargs) -> "BaseEstimate":  # pragma: no cover
+        ...
+
+
+class DiffEstimate(BaseEstimate):
+    """Difference-estimator result (reference ``estimators/difference.py:12``)."""
+
+
+class HHEstimate(BaseEstimate):
+    """Hansen-Hurwitz result (reference ``estimators/hansen_hurwitz.py:12``)."""
+
+
+class SRSEstimate(BaseEstimate):
+    """Simple-random-sampling result (reference ``estimators/srs.py:12``)."""

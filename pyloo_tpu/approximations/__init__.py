@@ -17,7 +17,7 @@ sis       :class:`SISApproximation`        standard IS-LOO
 ========  ==============================  =====================
 """
 
-from .base import LooApproximation, thin_draws
+from .base import compute_point_estimate, LooApproximation, thin_draws
 from .lpd import LPDApproximation
 from .plpd import PLPDApproximation
 from .importance_sampling import (
@@ -28,6 +28,7 @@ from .importance_sampling import (
 
 __all__ = [
     "LooApproximation",
+    "compute_point_estimate",
     "PLPDApproximation",
     "LPDApproximation",
     "TISApproximation",

@@ -48,3 +48,39 @@ def thin_draws(data, n_draws: Optional[int] = None):
         )
     idx = np.linspace(0, n_samples - 1, n_draws, dtype=int)
     return da.isel(__sample__=idx)
+
+
+def compute_point_estimate(posterior):
+    """Posterior-mean point estimate per variable.
+
+    The reference exports this name (``approximations/__init__.py:10``) but
+    never defines it — ``from pyloo.approximations import *`` raises there.
+    Provided here as the working utility the PLPD approximation implies:
+    the mean over the sample dimension(s) of each posterior variable.
+    Accepts a dict of arrays / DataArrays or a Dataset; returns a dict of
+    NumPy arrays with chain/draw (or ``__sample__``) axes averaged out.
+    """
+    import numpy as np
+
+    def mean_of(v):
+        vals = getattr(v, "values", v)
+        dims = getattr(v, "dims", None)
+        arr = np.asarray(vals)
+        if dims is not None:
+            axes = tuple(
+                i for i, d in enumerate(dims)
+                if d in ("chain", "draw", "__sample__", "sample")
+            )
+            if axes:
+                return arr.mean(axis=axes)
+        # plain arrays: leading axes are (chain, draw) or (sample,)
+        if arr.ndim >= 2:
+            return arr.mean(axis=(0, 1)) if arr.ndim > 2 else arr.mean(axis=(0, 1))
+        return arr.mean() if arr.ndim else arr
+
+    items = (
+        posterior.data_vars.items()
+        if hasattr(posterior, "data_vars")
+        else posterior.items()
+    )
+    return {name: mean_of(v) for name, v in items}

@@ -122,3 +122,32 @@ def test_loo_score_scrps_definition(rng):
     scrps = _crps(EXX, EXy, scale=True)
     assert_allclose(crps, 0.5 * EXX - EXy)
     assert_allclose(scrps, -EXy / EXX - 0.5 * np.log(EXX))
+
+
+def test_reference_import_paths_resolve():
+    """Drop-in imports from the reference package layout all resolve:
+    pyloo.wrapper / pyloo.wrapper.pymc / pyloo.estimators / 
+    pyloo.approximations exports (reference __init__ files)."""
+    from pyloo_tpu.wrapper import Laplace, PyMCWrapper  # noqa: F401
+    from pyloo_tpu.wrapper.pymc import PyMCWrapper as P2  # noqa: F401
+    from pyloo_tpu.approximations import (  # noqa: F401
+        LooApproximation,
+        compute_point_estimate,
+        thin_draws,
+        PLPDApproximation,
+        LPDApproximation,
+        TISApproximation,
+        SISApproximation,
+    )
+    from pyloo_tpu.estimators import (  # noqa: F401
+        EstimatorProtocol,
+        DiffEstimate,
+        HHEstimate,
+        SRSEstimate,
+        hh_estimate_elpd_loo,
+        srs_estimate_elpd_loo,
+    )
+    import numpy as np
+
+    pe = compute_point_estimate({"m": np.ones((2, 10)), "b": np.zeros((2, 10, 4))})
+    assert pe["m"].shape == () and pe["b"].shape == (4,)

@@ -309,19 +309,6 @@ _RENORM_LO = 2.0**-30
 _RENORM_SCALE = 2.0**60
 _RENORM_INV = 2.0**-60
 _LOG_RENORM_SCALE = 60.0 * math.log(2.0)
-# Wide-ladder constants for LEAF factors only, which under full-range IEEE
-# float64 (CPU) can reach ~2^1024 on extreme-spread tails (the Zhang-
-# Stephens grid scales like 1/y_quartile).  One wide shift counts as 6
-# regular ones (360 == 6*60) so a single shift accumulator serves both.
-# On emulated-f64 TPUs 2^360 is inf and 2^-360 is 0 — harmless, because
-# values there never leave (2^-180, 2^180), so the wide branches are never
-# SELECTED; the explicit v > 0 guard keeps exact zeros from selecting the
-# inf constant (0 * inf = NaN).
-_RENORM_HI_BIG = 2.0**180
-_RENORM_LO_BIG = 2.0**-180
-_RENORM_SCALE_BIG = 2.0**360
-_RENORM_INV_BIG = 2.0**-360
-_BIG_PER_SMALL = 6
 
 
 def _renorm(v, sh, steps=1):
@@ -342,24 +329,6 @@ def _renorm(v, sh, steps=1):
     return v, sh
 
 
-def _renorm_wide(v, sh, steps=3):
-    """Wide-ladder rescale toward (2^-180, 2^180) for unbounded leaf factors.
-
-    Three steps of the 2^360 ladder cover the full IEEE float64 exponent
-    range (|v| in [2^-1074, 2^1024]); the ``v > 0`` guard keeps exact zeros
-    away from the wide constants, which are inf/0 under the TPU's
-    float32-exponent-range f64 emulation (where these branches can never be
-    selected anyway).
-    """
-    one = jnp.ones((), v.dtype)
-    for _ in range(steps):
-        hi = v > _RENORM_HI_BIG
-        lo = (v < _RENORM_LO_BIG) & (v > 0)
-        v = v * jnp.where(hi, _RENORM_INV_BIG, jnp.where(lo, _RENORM_SCALE_BIG, one))
-        sh = sh + _BIG_PER_SMALL * (lo.astype(jnp.int32) - hi.astype(jnp.int32))
-    return v, sh
-
-
 def _log_prod_terms(y, b_col):
     """``sum_j log(1 - b*y_j)`` per row via a renormalized product tree.
 
@@ -370,18 +339,27 @@ def _log_prod_terms(y, b_col):
     term-by-term ``log1p`` sum, and with NO possible cancellation (all
     factors are positive), so unlike pair-merged ``log1p`` rewrites this
     needs no data-dependent accuracy guard and is safe under ``vmap``.
-    Leaf factors are unbounded when the candidate b is very negative
-    (extreme-spread tails make the Zhang-Stephens grid wide — under full-
-    range IEEE f64 they can reach ~2^1024), so leaves get the wide ladder
-    (:func:`_renorm_wide`) followed by 3 regular steps; interior products
-    of two in-range partials lie in [2^-60, 2^60] and need one.  Odd level
-    widths carry their last column to the next level unmultiplied — no
-    power-of-two padding.
+    Leaf magnitude bound: every caller reaches this scan through the
+    deep-tail guard (``_LINEAR_FIT_MIN_LOG_QUART``: the quartile exceedance
+    satisfies ``y_quart >= e^-60 = 2^-86.6``), the exceedances are
+    max-shifted (``y <= 1``), and the Zhang-Stephens grid gives
+    ``|b| <= 1/y_last + |c|/(3 y_quart) <= (1 + 11/3) * 2^86.6 < 2^89``
+    (|c| < sqrt(2 m_max) <= 11 for every supported tail length), so
+    positive leaves lie in ``[2^-54, 1 + 2^89]`` — ONE 2^60 rescale lands
+    either end inside the [2^-30, 2^30] band (two steps keep a full step of
+    margin).  The former wide ladder (2^360 steps) is unreachable under the
+    guard and was pure per-element cost in the scan's hot loop.  Rows the
+    guard exempts (n <= 4, khat = inf upstream) may carry inf/NaN anchors;
+    those poison only their own row, exactly as before.  Negative leaves
+    (infeasible candidates, ``b*y > 1``) end in a NaN/invalid ``log`` —
+    matching the reference's NaN from ``log1p`` — under either ladder.
+    Interior products of two in-range partials lie in [2^-60, 2^60] and
+    need one step.  Odd level widths carry their last column to the next
+    level unmultiplied — no power-of-two padding.
     """
     t = 1.0 - b_col[:, None] * y
     sh = jnp.zeros(t.shape, jnp.int32)
-    t, sh = _renorm_wide(t, sh, steps=3)
-    t, sh = _renorm(t, sh, steps=3)
+    t, sh = _renorm(t, sh, steps=2)
     while t.shape[1] > 1:
         h = t.shape[1] // 2
         odd = t.shape[1] - 2 * h

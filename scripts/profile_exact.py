@@ -33,16 +33,22 @@ N_ITERS = 4
 
 
 def timeit(name, fn, *args):
-    out = fn(*args, jnp.float64(0.0))
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    acc = None
-    for i in range(N_ITERS):
-        out = fn(*args, jnp.float64(i + 1) * 1e-9)
-        leaf = jax.tree_util.tree_leaves(out)[0]
-        acc = leaf if acc is None else acc + leaf
-    jax.block_until_ready(acc)
-    dt = (time.perf_counter() - t0) / N_ITERS
+    # two settle calls: under the axon tunnel the first post-compile
+    # dispatches of a program can be several times slower than steady state
+    for _ in range(2):
+        out = fn(*args, jnp.float64(0.0))
+        jax.block_until_ready(out)
+    best = float("inf")
+    for _rep in range(2):
+        t0 = time.perf_counter()
+        acc = None
+        for i in range(N_ITERS):
+            out = fn(*args, jnp.float64(i + 1) * 1e-9)
+            leaf = jax.tree_util.tree_leaves(out)[0]
+            acc = leaf if acc is None else acc + leaf
+        jax.block_until_ready(acc)
+        best = min(best, (time.perf_counter() - t0) / N_ITERS)
+    dt = best
     print(f"{name:36s} {dt*1e3:9.1f} ms/chunk   {CHUNK/dt/1e3:9.1f}k obs/s",
           flush=True)
     return dt
@@ -98,7 +104,7 @@ def main():
         xcutoff = jnp.maximum(vals[:, M], -700.0)
         e, k, d = _psis_tail_scores(
             vals[:, :M], xcutoff, jnp.zeros((CHUNK,), jnp.float64), C, S,
-            exact=True, prune_grid=True,
+            exact=True, product=True,
         )
         return jnp.sum(e) + jnp.sum(k)
 

@@ -177,12 +177,17 @@ def _psis_tail_scores(
             )
             y_quart = jnp.take_along_axis(y, q_desc[:, None], axis=1)[:, 0]
             k, sigma = _gpdfit_from_y(y, nf, y_quart, y[:, 0], product=product)
-            # reference _gpinv (psis.py:211-231): probs strictly inside (0,1)
-            q_lin = sigma[:, None] * jnp.where(
+            # reference _gpinv (psis.py:211-231): probs strictly inside (0,1).
+            # sigma/k enter as ONE per-row reciprocal-style factor instead of
+            # an (B, M) elementwise f64 divide — emulated f64 division is a
+            # multi-op Newton sequence per element, and the single extra
+            # rounding (x*(sigma/k) vs sigma*(x/k)) is ~1 ulp, far inside
+            # the 1e-12 parity budget.
+            sig_over_k = sigma / jnp.where(k == 0, 1.0, k)
+            q_lin = jnp.where(
                 jnp.abs(k)[:, None] < eps,
-                -log1m_p,
-                jnp.expm1(-k[:, None] * log1m_p)
-                / jnp.where(k == 0, 1.0, k)[:, None],
+                sigma[:, None] * -log1m_p,
+                sig_over_k[:, None] * jnp.expm1(-k[:, None] * log1m_p),
             )
             smoothed = jnp.minimum(jnp.log(q_lin + expxcutoff[:, None]), 0.0)
             return k, smoothed, sigma > 0

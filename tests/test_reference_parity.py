@@ -349,6 +349,43 @@ class TestLinearFitExtremes:
         np.testing.assert_allclose(np.asarray(k), ref_k, rtol=1e-11, atol=1e-11)
         np.testing.assert_allclose(np.asarray(e), e_ref, rtol=1e-11, atol=1e-11)
 
+    def test_guard_boundary_spread(self, rng):
+        """Tail spread just inside the linear fit's deep-tail guard.
+
+        Places the quartile exceedance at ~e^-59 (the guard routes batches
+        below e^-60 to the signed-log fit), which drives the Zhang-Stephens
+        candidate grid to |b| ~ e^60 and the product-scan leaf factors
+        ``1 - b*y`` to ~2^87 — the top of the renormalization ladder's
+        proven [2^-54, 2^89] leaf range.  Pins the 2-step ladder against
+        the reference at the worst admissible magnitude.
+        """
+        import jax.numpy as jnp
+
+        from pyloo_tpu.ops import tail_length
+        from pyloo_tpu.ops.loo_kernels import loo_scores_psis
+
+        S = 1000
+        m = tail_length(S, 1.0)  # 95
+        ll = np.asarray(rng.normal(-5, 0.1, size=(4, S)))
+        for r, top_spread in enumerate((50.0, 57.0, 58.5, 59.0)):
+            # ~3/4 of the tail sits top_spread nats below the row max (the
+            # quartile anchor), the top quarter spreads up to the max
+            ll[r, : 3 * m // 4] = (
+                -top_spread - 1.0 - rng.uniform(0, 0.2, size=3 * m // 4)
+            )
+            ll[r, 3 * m // 4 : m] = -np.linspace(
+                0.0, top_spread - 1.0, m - 3 * m // 4
+            )
+        ll = -ll  # build as weights, feed as log-lik
+        e, k, lp = loo_scores_psis(jnp.asarray(ll), m)
+
+        from scipy.special import logsumexp as sp_lse
+
+        ref_lw, ref_k = _reference_psislw(-ll)
+        e_ref = sp_lse(ref_lw + ll, axis=1)
+        np.testing.assert_allclose(np.asarray(k), ref_k, rtol=1e-11, atol=1e-11)
+        np.testing.assert_allclose(np.asarray(e), e_ref, rtol=1e-11, atol=1e-11)
+
 
 class TestKhatTailOrderingDivergence:
     """Pin the DOCUMENTED divergence from the reference on e_loo's k_hat.

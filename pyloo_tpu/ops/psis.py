@@ -346,8 +346,9 @@ def _log_prod_terms(y, b_col):
     ``|b| <= 1/y_last + |c|/(3 y_quart) <= (1 + 11/3) * 2^86.6 < 2^89``
     (|c| < sqrt(2 m_max) <= 11 for every supported tail length), so
     positive leaves lie in ``[2^-54, 1 + 2^89]`` — ONE 2^60 rescale lands
-    either end inside the [2^-30, 2^30] band (two steps keep a full step of
-    margin).  The former wide ladder (2^360 steps) is unreachable under the
+    either end inside [2^-31, 2^30] (hi side: (2^30, 2^89] -> (2^-30, 2^29];
+    lo side: [2^-54, 2^-30) -> [2^6, 2^30)), after which one step per tree
+    level keeps every partial in band, exactly as before.  The former wide ladder (2^360 steps) is unreachable under the
     guard and was pure per-element cost in the scan's hot loop.  Rows the
     guard exempts (n <= 4, khat = inf upstream) may carry inf/NaN anchors;
     those poison only their own row, exactly as before.  Negative leaves
@@ -359,7 +360,7 @@ def _log_prod_terms(y, b_col):
     """
     t = 1.0 - b_col[:, None] * y
     sh = jnp.zeros(t.shape, jnp.int32)
-    t, sh = _renorm(t, sh, steps=2)
+    t, sh = _renorm(t, sh, steps=1)
     while t.shape[1] > 1:
         h = t.shape[1] // 2
         odd = t.shape[1] - 2 * h

@@ -296,11 +296,24 @@ def loo_scores_psis(log_lik, tail_max: int):
     # available from the compact winners — no full-row masked-max pass
     n_tail = jnp.sum((vals[:, :M] > xcutoff[:, None]).astype(jnp.int32), axis=1)
     m1 = jnp.take_along_axis(vals, n_tail[:, None], axis=1)[:, 0]
+    # Full-row pass ONE: non-tail exp mass and the row minimum as sibling
+    # reductions of a single read of the (B, S) block.  The minimum IS the
+    # lppd's max-shift (max(log_lik) == -min(x) exactly — negation is
+    # exact), so the logsumexp below needs no max pass of its own; the
+    # three full-row passes of the naive form (masked mass, max, exp-sum)
+    # become two.
     log_ntl = _nontail_mass(x_raw - C1[:, None], xcutoff, m1)
+    row_min = jnp.min(x_raw, axis=1)
+    # Full-row pass TWO: the lppd exp-sum under the precomputed shift.
+    ll_max = jnp.where(jnp.isfinite(row_min), -row_min, 0.0)
+    lppd_i = (
+        jnp.log(jnp.sum(jnp.exp(log_lik - ll_max[:, None]), axis=1))
+        + ll_max
+        - jnp.log(jnp.asarray(S, dtype))
+    )
     elpd_i, khat, _ = _psis_tail_scores(
         vals[:, :M], xcutoff, log_ntl, C1, S, exact=True, product=True
     )
-    lppd_i = logsumexp(log_lik, axis=1, b_inv=S)
     return elpd_i, khat, lppd_i
 
 

@@ -170,17 +170,22 @@ def bench_heavy_tail():
 
         e0, k0, n0 = _smooth_k_summary(x, jnp.float32(0.0), m)
         _ = float(e0 + k0 + n0)
-        t0 = time.perf_counter()
-        acc = jnp.zeros((), jnp.float32)
-        ksum = jnp.zeros((), jnp.float32)
-        nfin = jnp.zeros((), jnp.float32)
-        for i in range(4):
-            e, kv, nf = _smooth_k_summary(
-                x, jnp.float32(i) * jnp.float32(1e-6), m
-            )
-            acc, ksum, nfin = acc + e, ksum + kv, nfin + nf
-        _ = float(acc)
-        dt = (time.perf_counter() - t0) / 4
+        # best of 2 timed reps (distinct salts per rep: a remote tunnel can
+        # serve jittered dispatches — BENCH_r05's first k=1.5 sample read 3x
+        # slow on an otherwise identical program)
+        dt = float("inf")
+        for rep in range(2):
+            t0 = time.perf_counter()
+            acc = jnp.zeros((), jnp.float32)
+            ksum = jnp.zeros((), jnp.float32)
+            nfin = jnp.zeros((), jnp.float32)
+            for i in range(4):
+                e, kv, nf = _smooth_k_summary(
+                    x, jnp.float32(4 * rep + i) * jnp.float32(1e-6), m
+                )
+                acc, ksum, nfin = acc + e, ksum + kv, nfin + nf
+            _ = float(acc)
+            dt = min(dt, (time.perf_counter() - t0) / 4)
         n_fin = float(nfin)
         mean_k = float(ksum) / max(n_fin, 1.0)
         frac_nonfinite = 1.0 - n_fin / (4 * rows)

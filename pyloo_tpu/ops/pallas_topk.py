@@ -297,207 +297,6 @@ def _sort_roll(v, rows: int, i_sub, seg, n: int):
     return v
 
 
-def _pair_gt(ah, al, bh, bl):
-    """Lexicographic (hi, lo) pair comparison: a > b as float64 values.
-
-    For hi/lo double-float splits (``hi = f32(x)``, ``lo = f32(x - hi)``)
-    the hi planes already decide whenever they differ — two x with
-    ``hi_a > hi_b`` satisfy ``x_a > x_b`` because round-to-nearest intervals
-    of distinct f32s only touch at midpoints, which both round to the SAME
-    f32 — so comparing (hi, then lo on hi-ties) is exactly the f64 order.
-    (A fused ``(ah-bh)+(al-bl) > 0`` would be 2 ops cheaper but its sign can
-    flip when the true difference is below the f32 rounding of ``al-bl``;
-    rejected.)
-    """
-    return (ah > bh) | ((ah == bh) & (al > bl))
-
-
-def _cmpex_pair_roll_desc(h, l, j: int, n: int):
-    """All-descending pair compare-exchange at sublane stride ``j``.
-
-    The pair analogue of :func:`_cmpex_roll_desc`: element ``i`` pairs with
-    ``i ^ j``; bit-clear slots keep the pair max, bit-set slots the pair
-    min.  14 vector ops against the scalar version's 5 — the price of exact
-    float64 ordering at float32 sort speed.
-    """
-    down_h = pltpu.roll(h, shift=jnp.int32(n - j), axis=0)  # v[i + j]
-    down_l = pltpu.roll(l, shift=jnp.int32(n - j), axis=0)
-    up_h = pltpu.roll(h, shift=jnp.int32(j), axis=0)  # v[i - j]
-    up_l = pltpu.roll(l, shift=jnp.int32(j), axis=0)
-    i = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
-    has_bit = (
-        jax.lax.rem(jax.lax.div(i, jnp.int32(j)), jnp.int32(2))
-        != jnp.int32(0)
-    )
-    ph = jnp.where(has_bit, up_h, down_h)
-    pl = jnp.where(has_bit, up_l, down_l)
-    gt = _pair_gt(h, l, ph, pl)
-    take = gt != has_bit  # XOR: max slot keeps self iff self > partner
-    return jnp.where(take, h, ph), jnp.where(take, l, pl)
-
-
-def _sort_roll_pair(h, l, rows: int, i_sub, seg, n: int):
-    """:func:`_sort_roll` on (hi, lo) pairs: exact f64 descending lists in
-    lanes 0..rows-1.
-
-    The sign-flip trick carries over by negating BOTH planes: the split of
-    ``-x`` is ``(-hi, -lo)``, and lexicographic descending on the negated
-    pair is ascending on the original.
-    """
-    flip = jax.lax.rem(seg, jnp.int32(2)) != jnp.int32(0)
-    one = jnp.ones((), h.dtype)
-    k = 2
-    while k <= n:
-        if k < n:
-            stage_desc = (
-                jax.lax.rem(jax.lax.div(i_sub, jnp.int32(k)), jnp.int32(2))
-                == jnp.int32(0)
-            )
-        else:
-            stage_desc = jnp.full((n, 1), True)
-        desc = stage_desc != flip
-        s = jnp.where(desc, one, -one)
-        h = h * s
-        l = l * s
-        j = k // 2
-        while j >= 1:
-            h, l = _cmpex_pair_roll_desc(h, l, j, n)
-            j //= 2
-        h = h * s
-        l = l * s
-        k *= 2
-    dist = rows
-    t = 1
-    while dist < _LANES:
-        ph = pltpu.roll(h, shift=jnp.int32(_LANES - dist), axis=1)
-        pl = pltpu.roll(l, shift=jnp.int32(_LANES - dist), axis=1)
-        gt = _pair_gt(h, l, ph, pl)
-        h = jnp.where(gt, h, ph)
-        l = jnp.where(gt, l, pl)
-        flip_next = (
-            jax.lax.rem(jax.lax.div(seg, jnp.int32(1 << t)), jnp.int32(2))
-            != jnp.int32(0)
-        )
-        s = jnp.where(flip_next, -one, one)
-        h = h * s
-        l = l * s
-        j = n // 2
-        while j >= 1:
-            h, l = _cmpex_pair_roll_desc(h, l, j, n)
-            j //= 2
-        h = h * s
-        l = l * s
-        dist *= 2
-        t += 1
-    return h, l
-
-
-def _kernel_roll_pair(
-    n_segs: int, rows: int, blk: int, n: int,
-    hi_ref, lo_ref, outh_ref, outl_ref,
-):
-    """Pair variant of :func:`_kernel_roll`: exact f64 top-n via hi/lo planes."""
-    i_sub = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, _LANES), 1)
-    seg = jax.lax.div(lane, jnp.int32(rows))
-
-    for b in range(blk):
-        h, l = _sort_roll_pair(hi_ref[b], lo_ref[b], rows, i_sub, seg, n)
-        outh_ref[b] = h[:, :rows]
-        outl_ref[b] = l[:, :rows]
-
-
-def split_f64(x):
-    """Split float64 ``x`` into an order-preserving (hi, lo) float32 pair.
-
-    ``hi = f32(x)`` (round-to-nearest), ``lo = f32(x - hi)`` — exact because
-    the residual fits comfortably in a second f32 — so ``x = hi + lo``
-    reconstructs exactly and lexicographic (hi, lo) comparison IS the f64
-    order (see :func:`_pair_gt`).  Non-finite hi rows sanitize lo to 0 so
-    ``-inf`` padding and ``±inf`` inputs order correctly (NaN is not
-    supported, as in the rest of the selection stack).
-    """
-    hi = x.astype(jnp.float32)
-    lo = (x - hi.astype(x.dtype)).astype(jnp.float32)
-    lo = jnp.where(jnp.isfinite(hi), lo, 0.0)
-    return hi, lo
-
-
-@partial(jax.jit, static_argnames=("k", "interpret", "blk"))
-def pallas_topk_pair_desc(hi, lo, k: int, *, interpret: bool = False, blk: int = 4):
-    """Exact descending top-k of float64 rows given as (hi, lo) f32 planes.
-
-    Returns the (B, k) hi and lo planes of the top-k values in exact f64
-    order; ``hi64 + lo64`` reconstructs the values exactly.  Same tiling and
-    support envelope as :func:`pallas_topk_desc`.
-    """
-    b_in, s = hi.shape
-    if not supports(s, k):
-        raise ValueError(f"pallas_topk_pair_desc does not support S={s}, k={k}")
-    n = _list_height(k)
-    n_segs = 1
-    while n_segs * n < s:
-        n_segs *= 2
-    rows = _LANES // n_segs
-    s_pad = n_segs * n
-
-    rows_per_step = rows * blk
-    b_pad = -(-b_in // rows_per_step) * rows_per_step
-    grid = b_pad // rows_per_step
-
-    def tile(x, fill):
-        xp = x
-        if s_pad != s or b_pad != b_in:
-            xp = jnp.pad(
-                x,
-                ((0, b_pad - b_in), (0, s_pad - s)),
-                constant_values=fill,
-            )
-        return (
-            xp.reshape(grid, blk, rows, n_segs, n)
-            .transpose(0, 1, 4, 3, 2)
-            .reshape(grid * blk, n, _LANES)
-        )
-
-    ht = tile(hi, -jnp.inf)
-    lt = tile(lo, 0.0)
-
-    outh, outl = pl.pallas_call(
-        partial(_kernel_roll_pair, n_segs, rows, blk, n),
-        grid=(grid,),
-        in_specs=[
-            pl.BlockSpec(
-                (blk, n, _LANES),
-                lambda j: (j, 0 * j, 0 * j),
-                memory_space=pltpu.VMEM,
-            )
-        ]
-        * 2,
-        out_specs=(
-            pl.BlockSpec(
-                (blk, n, rows),
-                lambda j: (j, 0 * j, 0 * j),
-                memory_space=pltpu.VMEM,
-            ),
-        )
-        * 2,
-        out_shape=(
-            jax.ShapeDtypeStruct((grid * blk, n, rows), hi.dtype),
-        )
-        * 2,
-        interpret=interpret,
-    )(ht, lt)
-
-    def untile(out):
-        return (
-            out.reshape(grid, blk, n, rows)
-            .transpose(0, 1, 3, 2)
-            .reshape(b_pad, n)[:b_in, :k]
-        )
-
-    return untile(outh), untile(outl)
-
-
 def _lane_tree(v, op, rows: int):
     """Reduce across each lane's congruence class mod ``rows``.
 

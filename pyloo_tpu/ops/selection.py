@@ -52,6 +52,23 @@ def _pallas_applicable(x, k: int) -> bool:
     return supports(x.shape[-1], k)
 
 
+# NOTE — rejected design (round 5): a Pallas lexicographic PAIR sort for
+# float64 selection (hi = f32(x), lo = f32(x - hi), compare hi then lo).
+# The kernel was built and interpret-verified, but the split is NOT exact:
+# two f32 planes carry ~48 mantissa bits against float64's 53, so
+# ``hi + lo`` reconstructs x only to ~2^-49 relative and sub-2^-48
+# near-ties sort by the rounded value — the "exact" path would no longer
+# be exact by construction.  An exact THREE-plane split (hi/mid/lo — the
+# second residual is exactly representable in 29 bits, so 24+24+29 covers
+# 53) costs ~3.4-4x the f32 sort's vector ops per compare-exchange, which
+# lands at or above the approx_max_k cascade's measured 104 ms at
+# (62.5k, 4000)->191 — no win, plus a mandatory split pass.  Variants that
+# compare fewer planes and repair afterwards all reintroduce either a
+# per-row gather (measured 8x slower than the cascade in round 3's hybrid
+# episode, see ``topk_hybrid_f64``) or a full-row tie-census pass.  The
+# cascade stays.
+
+
 def fast_path_route(b: int, s: int, k: int, dtype) -> str:
     """Which selection path ``loo_scores_psis_fast`` takes for (B, S, k).
 

@@ -535,3 +535,4 @@ class TestLargeSEnvelope:
         assert route(4096, 100_000, 1087, jnp.float32) == "cascade"  # k cap
         assert route(64, 4000, 192, jnp.float32) == "cascade"        # B gate
         assert route(4096, 4000, 192, jnp.float64) == "cascade"      # dtype
+

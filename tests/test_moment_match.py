@@ -424,6 +424,7 @@ class TestMomentMatchOptions:
             )
         assert np.isfinite(mm["elpd_loo"])
 
+    @pytest.mark.slow
     def test_custom_threshold(self, fitted):
         model, idata, wrapper, orig = fitted
         with warnings.catch_warnings():
@@ -562,6 +563,7 @@ class TestDeviceBatchedPath:
                 log_lik_i_upars_fn=lambda m, upars, i, **k: None,
             )
 
+    @pytest.mark.slow
     def test_many_bad_obs_speedup(self):
         """>= 100 bad observations: one device program vs the host loop.
 
@@ -615,6 +617,7 @@ class TestDeviceBatchedSharded:
     8-virtual-device mesh (including ragged sizes that need padding lanes):
     results must match the unsharded run exactly."""
 
+    @pytest.mark.slow
     def test_sharded_matches_unsharded(self, fitted):
         from pyloo_tpu.parallel import obs_mesh
 

@@ -348,8 +348,9 @@ def _log_prod_terms(y, b_col):
     positive leaves lie in ``[2^-54, 1 + 2^89]`` — ONE 2^60 rescale lands
     either end inside [2^-31, 2^30] (hi side: (2^30, 2^89] -> (2^-30, 2^29];
     lo side: [2^-54, 2^-30) -> [2^6, 2^30)), after which one step per tree
-    level keeps every partial in band, exactly as before.  The former wide ladder (2^360 steps) is unreachable under the
-    guard and was pure per-element cost in the scan's hot loop.  Rows the
+    level keeps every partial in band, exactly as before.  The former wide
+    ladder (2^360 steps) is unreachable under the guard and was pure
+    per-element cost in the scan's hot loop.  Rows the
     guard exempts (n <= 4, khat = inf upstream) may carry inf/NaN anchors;
     those poison only their own row, exactly as before.  Negative leaves
     (infeasible candidates, ``b*y > 1``) end in a NaN/invalid ``log`` —

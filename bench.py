@@ -68,9 +68,12 @@ def bench_streaming_api(dev):
         return y * eta - jnp.logaddexp(0.0, eta)
 
     # chunk_size divides TOTAL_OBS exactly: the default (~2 GB = 134216
-    # rows) leaves a ragged last chunk whose padding is wasted compute;
-    # 250k chunks measured slower (HBM pressure), 125k is the sweet spot
-    kw = dict(dtype=jnp.float32, chunk_size=125_000)
+    # rows) leaves a ragged last chunk whose padding is wasted compute.
+    # Round-5 sweep (scripts/profile_headline_tuning.py, best of 3):
+    # 62.5k 1.225M / 100k 1.278M / 125k 1.297M / 200k 1.305M / 250k
+    # 1.275M obs/s — 200k is the measured optimum (fewer dispatches wins
+    # until ~3 GB tiles hit HBM pressure).
+    kw = dict(dtype=jnp.float32, chunk_size=200_000)
     # Round 4 cold-start protocol: pl.warmup() AOT-compiles the heavy
     # chunk-step programs at startup (the documented production pattern),
     # so the "cold" first real call pays only the user-generator compile.

@@ -88,9 +88,13 @@ def bench_streaming_api(dev):
     t0 = time.perf_counter()
     r = loo_streaming(log_lik_fn, TOTAL_OBS, N_DRAWS, **kw)
     cold_wall = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    r = loo_streaming(log_lik_fn, TOTAL_OBS, N_DRAWS, **kw)
-    wall = time.perf_counter() - t0
+    # headline: best of 2 warm calls (remote-tunnel dispatch jitter is
+    # +-2% call to call; same guard as the kernel stages)
+    wall = float("inf")
+    for _rep in range(2):
+        t0 = time.perf_counter()
+        r = loo_streaming(log_lik_fn, TOTAL_OBS, N_DRAWS, **kw)
+        wall = min(wall, time.perf_counter() - t0)
     return wall, cold_wall, warmup_wall, float(r["elpd_loo"])
 
 

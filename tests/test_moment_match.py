@@ -649,3 +649,75 @@ class TestDeviceBatchedSharded:
             mm_sharded.pareto_k.values, mm_single.pareto_k.values,
             rtol=1e-12, atol=1e-12,
         )
+
+
+class TestStandaloneSplitExport:
+    """Direct-call contract of the standalone ``loo_moment_match_split``
+    export (reference ``split_moment_match.py:22``): output keys, weight
+    normalization, and the identity-transform degenerate case."""
+
+    @pytest.fixture(scope="class")
+    def simple(self):
+        rng = np.random.default_rng(11)
+        S, P, n = 400, 2, 12
+        upars = rng.normal(size=(S, P))
+        y = rng.normal(size=n)
+
+        def log_prob_upars_fn(model, upars, **kw):
+            return -0.5 * np.sum(np.asarray(upars) ** 2, axis=1)
+
+        def log_lik_i_upars_fn(model, upars, i, **kw):
+            mu = np.asarray(upars)[:, 0]
+            return -0.5 * (y[i] - mu) ** 2
+
+        return upars, log_prob_upars_fn, log_lik_i_upars_fn
+
+    def test_identity_transform_keys_and_normalization(self, simple):
+        upars, lp, ll = simple
+        S, P = upars.shape
+        out = pl.loo_moment_match_split(
+            None,
+            upars,
+            cov=False,
+            total_shift=np.zeros(P),
+            total_scaling=np.ones(P),
+            total_mapping=np.eye(P),
+            i=3,
+            r_eff_i=1.0,
+            log_prob_upars_fn=lp,
+            log_lik_i_upars_fn=ll,
+        )
+        assert set(out) >= {"lwi", "lwfi", "log_liki", "r_eff_i"}
+        lwi = np.asarray(out["lwi"])
+        lwfi = np.asarray(out["lwfi"])
+        assert lwi.shape == (S,) and lwfi.shape == (S,)
+        # smoothed importance weights are logsumexp-normalized
+        from scipy.special import logsumexp as sp_lse
+
+        assert abs(sp_lse(lwi)) < 1e-8
+        assert abs(sp_lse(lwfi)) < 1e-8
+        assert np.asarray(out["log_liki"]).shape == (S,)
+        assert 0 < out["r_eff_i"] <= 1.0 + 1e-12
+
+    def test_shift_moves_weights(self, simple):
+        upars, lp, ll = simple
+        S, P = upars.shape
+        base = pl.loo_moment_match_split(
+            None, upars, cov=False,
+            total_shift=np.zeros(P), total_scaling=np.ones(P),
+            total_mapping=np.eye(P), i=3, r_eff_i=1.0,
+            log_prob_upars_fn=lp, log_lik_i_upars_fn=ll,
+        )
+        shifted = pl.loo_moment_match_split(
+            None, upars, cov=True,
+            total_shift=np.array([0.5, 0.0]),
+            total_scaling=np.array([1.2, 1.0]),
+            total_mapping=np.eye(P),
+            i=3, r_eff_i=1.0,
+            log_prob_upars_fn=lp, log_lik_i_upars_fn=ll,
+        )
+        assert np.all(np.isfinite(np.asarray(shifted["lwi"])))
+        # a real transform must change the smoothed weights
+        assert not np.allclose(
+            np.asarray(base["lwi"]), np.asarray(shifted["lwi"])
+        )
